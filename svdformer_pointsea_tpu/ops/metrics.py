@@ -1,0 +1,93 @@
+"""Evaluation metrics: F-score and density-aware chamfer distance (DCD).
+
+Reference semantics:
+- ``fscore``: metrics/CD/fscore.py:3-16 — precision/recall thresholded on
+  *squared* distances (default 1e-4), NaN -> 0.
+- ``density_aware_chamfer``: utils/loss_utils.py:117-155 — exp(-alpha*d)
+  weighted by inverse nearest-neighbour multiplicity counts.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from svdformer_pointsea_tpu.ops.distances import chamfer_distance
+
+Array = jax.Array
+
+
+def fscore(dist1: Array, dist2: Array, threshold: float = 1e-4):
+    """F1 on squared nearest distances.
+
+    Args:
+        dist1, dist2: (B, N) / (B, M) squared distances from chamfer.
+    Returns:
+        (f1, precision_1, precision_2), each (B,).
+    """
+    precision_1 = jnp.mean((dist1 < threshold).astype(jnp.float32), axis=1)
+    precision_2 = jnp.mean((dist2 < threshold).astype(jnp.float32), axis=1)
+    denom = precision_1 + precision_2
+    f1 = jnp.where(denom > 0, 2 * precision_1 * precision_2 / jnp.maximum(denom, 1e-12), 0.0)
+    return f1, precision_1, precision_2
+
+
+def _bincount_gather(idx: Array, length: int) -> Array:
+    """count[j] = multiplicity of value j in idx, gathered back at idx.
+
+    idx: (B, K) int32 values in [0, length). Returns (B, K) float32.
+    """
+    B = idx.shape[0]
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], idx.shape)
+    counts = jnp.zeros((B, length), jnp.float32).at[bidx, idx].add(1.0)
+    return jnp.take_along_axis(counts, idx, axis=1)
+
+
+def density_aware_chamfer(
+    x: Array,
+    gt: Array,
+    alpha: float = 1000.0,
+    n_lambda: float = 1.0,
+    non_reg: bool = False,
+):
+    """Density-aware CD (utils/loss_utils.py:117-155).
+
+    Args:
+        x: (B, N, 3) prediction.
+        gt: (B, M, 3) ground truth.
+    Returns:
+        (dcd, cd_p, cd_t): per-sample DCD, CD-L1-style and CD-L2-style values,
+        matching calc_dcd / calc_cd conventions (note the reference calls
+        chamfer as cham_loss(gt, output), so dist1 is gt->x).
+    """
+    x = x.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
+    n_x = x.shape[1]
+    n_gt = gt.shape[1]
+    if non_reg:
+        frac_12 = max(1.0, n_x / n_gt)
+        frac_21 = max(1.0, n_gt / n_x)
+    else:
+        frac_12 = n_x / n_gt
+        frac_21 = n_gt / n_x
+
+    # Reference arg order: chamfer(gt, output) (loss_utils.py:101).
+    dist1, dist2, idx1, idx2 = chamfer_distance(gt, x)
+    cd_p = (jnp.sqrt(dist1).mean(axis=1) + jnp.sqrt(dist2).mean(axis=1)) / 2
+    cd_t = dist1.mean(axis=1) + dist2.mean(axis=1)
+
+    exp_dist1 = jnp.exp(-dist1 * alpha)
+    exp_dist2 = jnp.exp(-dist2 * alpha)
+
+    # idx1 indexes into x (size n_x); idx2 indexes into gt (size n_gt).
+    weight1 = _bincount_gather(idx1, n_x) ** n_lambda
+    weight1 = jax.lax.stop_gradient(weight1)
+    weight1 = 1.0 / (weight1 + 1e-6) * frac_21
+    loss1 = jnp.mean(1 - exp_dist1 * weight1, axis=1)
+
+    weight2 = _bincount_gather(idx2, n_gt) ** n_lambda
+    weight2 = jax.lax.stop_gradient(weight2)
+    weight2 = 1.0 / (weight2 + 1e-6) * frac_12
+    loss2 = jnp.mean(1 - exp_dist2 * weight2, axis=1)
+
+    return (loss1 + loss2) / 2, cd_p, cd_t
