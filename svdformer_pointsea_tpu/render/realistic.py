@@ -1,0 +1,188 @@
+"""Realistic voxel-based multi-view renderer (PointSea's ``PCViews_Real``).
+
+Re-implements models_PointSea/mv_utils_zs.py as fused XLA: normalize the
+cloud, quantise into a (depth, res, res) occupancy grid via a deterministic
+scatter-max (replacing torch_scatter), densify with a max-pool, smooth with
+a fixed 3D Gaussian convolution, squeeze depth with a max, then invert —
+producing 3-channel images for the pretrained ResNet18 encoder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from svdformer_pointsea_tpu.render.pcviews import euler2mat
+
+Array = jax.Array
+
+# Realistic projection parameters (mv_utils_zs.py:10-13).
+PARAMS = {
+    "maxpoolz": 1,
+    "maxpoolxy": 7,
+    "maxpoolpadz": 0,
+    "maxpoolpadxy": 3,
+    "convz": 1,
+    "convxy": 3,
+    "convsigmaxy": 3,
+    "convsigmaz": 1,
+    "convpadz": 0,
+    "convpadxy": 1,
+    "imgbias": 0.0,
+    "depth_bias": 0.2,
+    "obj_ratio": 0.8,
+    "bg_clr": 0.0,
+    "resolution": 224,
+    "depth": 8,
+}
+
+
+def get_2d_gaussian_kernel(ksize: int, sigma: float) -> np.ndarray:
+    center = ksize // 2
+    xs = np.arange(ksize, dtype=np.float32) - center
+    k1 = np.exp(-(xs**2) / (2 * sigma**2))
+    k = k1[:, None] @ k1[None, :]
+    return k / k.sum()
+
+
+def get_3d_gaussian_kernel(ksize: int, depth: int, sigma: float, zsigma: float) -> np.ndarray:
+    k2 = get_2d_gaussian_kernel(ksize, sigma)
+    zs = np.arange(depth, dtype=np.float32) - depth // 2
+    zk = np.exp(-(zs**2) / (2 * zsigma**2))
+    k3 = np.repeat(k2[None], depth, axis=0) * zk[:, None, None]
+    return (k3 / k3.sum()).astype(np.float32)
+
+
+def points2grid(points: Array, resolution: int = 224, depth: int = 8) -> Array:
+    """Quantise clouds into per-view occupancy grids (mv_utils_zs.py:97-133).
+
+    points: (B, P, 3) -> grid (B, depth, resolution, resolution).
+    """
+    pmax = jnp.max(points, axis=1)
+    pmin = jnp.min(points, axis=1)
+    pcent = (pmax + pmin) / 2
+    prange = jnp.max(pmax - pmin, axis=-1)[:, None, None]
+    pts = (points - pcent[:, None, :]) / prange * 2.0
+    pts = pts.at[:, :, :2].multiply(PARAMS["obj_ratio"])
+
+    depth_bias = PARAMS["depth_bias"]
+    _x = (pts[:, :, 0] + 1) / 2 * resolution
+    _y = (pts[:, :, 1] + 1) / 2 * resolution
+    _z = ((pts[:, :, 2] + 1) / 2 + depth_bias) / (1 + depth_bias) * (depth - 2)
+
+    _x = jnp.ceil(_x)
+    _y = jnp.ceil(_y)
+    z_int = jnp.ceil(_z)
+
+    _x = jnp.clip(_x, 1, resolution - 2)
+    _y = jnp.clip(_y, 1, resolution - 2)
+    _z = jnp.clip(_z, 1, depth - 2)
+
+    coords = (z_int * resolution * resolution + _y * resolution + _x).astype(jnp.int32)
+    B = points.shape[0]
+    flat = jnp.full((B, depth * resolution * resolution), PARAMS["bg_clr"], jnp.float32)
+    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], coords.shape)
+    # scatter-max, deterministic under XLA; out-of-range z_int (possible
+    # because coords use the *unclipped* ceil, reference quirk) is dropped.
+    flat = flat.at[bidx, coords].max(_z, mode="drop")
+    grid = flat.reshape(B, depth, resolution, resolution)
+    return jnp.transpose(grid, (0, 1, 3, 2))
+
+
+def _grid2image(grid: Array, kernel: Array) -> Array:
+    """Densify + smooth + depth-max + invert (mv_utils_zs.py:16-43).
+
+    grid: (B, D, H, W) -> img (B, 3, H, W).
+    """
+    x = grid[:, None]  # (B, 1, D, H, W)
+    kz, kxy = PARAMS["maxpoolz"], PARAMS["maxpoolxy"]
+    pz, pxy = PARAMS["maxpoolpadz"], PARAMS["maxpoolpadxy"]
+    x = lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, 1, kz, kxy, kxy),
+        window_strides=(1, 1, 1, 1, 1),
+        padding=((0, 0), (0, 0), (pz, pz), (pxy, pxy), (pxy, pxy)),
+    )
+    cz, cxy = PARAMS["convz"], PARAMS["convxy"]
+    cpz, cpxy = PARAMS["convpadz"], PARAMS["convpadxy"]
+    x = lax.conv_general_dilated(
+        x,
+        kernel.reshape(1, 1, cz, cxy, cxy),
+        window_strides=(1, 1, 1),
+        padding=((cpz, cpz), (cpxy, cpxy), (cpxy, cpxy)),
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    )
+    img = jnp.max(x, axis=2)  # (B, 1, H, W)
+    peak = jnp.max(img, axis=(-1, -2), keepdims=True)
+    img = img / peak
+    img = 1 - img
+    return jnp.repeat(img, 3, axis=1)
+
+
+class PCViewsReal:
+    """Three realistic self-views with per-view bias rotations.
+
+    Matches models_PointSea/mv_utils_zs.py:136-195. ``get_img`` returns
+    (B*3, 3, H, W) ready for the ImageNet-pretrained ResNet18 encoder.
+    """
+
+    _VIEWS = np.asarray(
+        [
+            [[0 * np.pi / 2, 0, np.pi / 2], [-0.5, -0.5, 0.0]],
+            [[1 * np.pi / 2, 0, np.pi / 2], [-0.5, -0.5, 0.0]],
+            [[0, -np.pi / 2, np.pi / 2], [-0.5, -0.5, 0.0]],
+        ],
+        np.float32,
+    )
+    _VIEW_BIAS = np.asarray(
+        [
+            [0, np.pi / 9, 0],
+            [0, np.pi / 9, 0],
+            [0, np.pi / 15, 0],
+        ],
+        np.float32,
+    )
+
+    def __init__(self, trans: float = -0.7):
+        self.num_views = 3
+        views = self._VIEWS.copy()
+        views[:, 1, 2] = trans
+        self.rot = np.transpose(euler2mat(views[:, 0, :]), (0, 2, 1))
+        self.rot_bias = np.transpose(euler2mat(self._VIEW_BIAS), (0, 2, 1))
+        self.translation = views[:, 1, :].reshape(3, 1, 3)
+        kernel = get_3d_gaussian_kernel(
+            PARAMS["convxy"],
+            PARAMS["convz"],
+            sigma=PARAMS["convsigmaxy"],
+            zsigma=PARAMS["convsigmaz"],
+        )
+        self._get_img = jax.jit(
+            functools.partial(
+                _real_render,
+                rot=jnp.asarray(self.rot),
+                rot_bias=jnp.asarray(self.rot_bias),
+                translation=jnp.asarray(self.translation),
+                kernel=jnp.asarray(kernel),
+            )
+        )
+
+    def get_img(self, points: Array) -> Array:
+        """points (B, P, 3) -> images (B*3, 3, H, W), batch-major view-minor."""
+        return self._get_img(points)
+
+
+def _real_render(points, *, rot, rot_bias, translation, kernel):
+    B = points.shape[0]
+    V = rot.shape[0]
+    proj = jnp.einsum("bpc,vcd->bvpd", points, rot)
+    proj = jnp.einsum("bvpc,vcd->bvpd", proj, rot_bias)
+    proj = proj - translation[None]
+    flat = proj.reshape(B * V, -1, 3)
+    grid = points2grid(flat, PARAMS["resolution"], PARAMS["depth"])
+    return _grid2image(grid, kernel)
