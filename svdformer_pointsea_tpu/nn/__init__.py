@@ -1,0 +1,50 @@
+"""Neural building blocks and model families (flax.linen, channels-last).
+
+All modules operate on ``(B, N, C)`` tensors — features on the last axis map
+onto TPU lanes, so every 1x1 "conv" is a Dense matmul on the MXU and XLA can
+fuse the elementwise tails. The reference's channel-first Conv1d/Conv2d
+stacks become Dense stacks; its ``nn.MultiheadAttention`` becomes an
+explicit pre-LN multi-head attention with the same q/k/v/positional wiring.
+"""
+
+from svdformer_pointsea_tpu.nn.layers import (
+    MLPConv,
+    MLPRes,
+    SharedMLP,
+    MultiheadAttention,
+    SelfAttentionBlock,
+    CrossAttentionBlock,
+    SDGDecoder,
+    EdgeConv,
+    PCSA,
+    SinusoidalPositionalEmbedding,
+    PointNetSAModuleKNN,
+    PointNetSAModule,
+    PointNetFPModule,
+)
+from svdformer_pointsea_tpu.nn.resnet import ImageTrunk, ResNet18
+from svdformer_pointsea_tpu.nn.svdformer import SVDFormer
+from svdformer_pointsea_tpu.nn.geospecnet import GeoSpecNet, PointDiscriminator
+from svdformer_pointsea_tpu.nn.pointsea import PointSea
+
+__all__ = [
+    "MLPConv",
+    "MLPRes",
+    "SharedMLP",
+    "MultiheadAttention",
+    "SelfAttentionBlock",
+    "CrossAttentionBlock",
+    "SDGDecoder",
+    "EdgeConv",
+    "PCSA",
+    "SinusoidalPositionalEmbedding",
+    "PointNetSAModuleKNN",
+    "PointNetSAModule",
+    "PointNetFPModule",
+    "ImageTrunk",
+    "ResNet18",
+    "SVDFormer",
+    "GeoSpecNet",
+    "PointDiscriminator",
+    "PointSea",
+]

@@ -1,0 +1,413 @@
+"""Shared neural building blocks (flax.linen, channels-last).
+
+Mapping to the reference (file:line refer to /root/reference):
+- ``MLPConv``      <- models/model_utils.py:62-77 (MLP_CONV)
+- ``MLPRes``       <- models/model_utils.py:79-95
+- ``SharedMLP``    <- the Conv2d stacks used by the SA modules (:27-43)
+- ``SelfAttentionBlock`` / ``CrossAttentionBlock``
+                   <- models/model_utils.py:542-617 (pre-LN, q=k=x+pos,
+                      value without pos, GELU FFN; the *same* input
+                      projection applied to both streams in cross-attention)
+- ``SDGDecoder``   <- models/model_utils.py:619-629
+- ``EdgeConv``     <- models/model_utils.py:847-881 (dynamic feature-space
+                      kNN graph, [edge||central] features, max over K)
+- ``PCSA``         <- models/model_utils.py:358-429 (DCT-II gating along K)
+- ``SinusoidalPositionalEmbedding`` <- models/model_utils.py:883-909
+                      (interleaved sin/cos layout)
+- ``PointNetSAModuleKNN`` <- models/model_utils.py:432-487
+- ``PointNetSAModule``    <- models/model_utils.py:161-207 (ball query)
+- ``PointNetFPModule``    <- models/model_utils.py:209-256
+
+Dropout in the reference attention blocks is always constructed with p=0.0
+in the three models, so it is omitted entirely (deterministic forward).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as linen
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svdformer_pointsea_tpu.ops import (
+    group_local,
+    sample_and_group_all,
+    sample_and_group_ball,
+    sample_and_group_knn,
+)
+
+Array = jax.Array
+
+
+class MLPConv(linen.Module):
+    """Dense stack: ReLU between layers, no activation after the last."""
+
+    features: Sequence[int]
+    bn: bool = False
+
+    @linen.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        for i, f in enumerate(self.features):
+            x = linen.Dense(f, name=f"layer{i}")(x)
+            if i < len(self.features) - 1:
+                if self.bn:
+                    x = linen.BatchNorm(use_running_average=not train, axis=-1)(x)
+                x = jax.nn.relu(x)
+        return x
+
+
+class MLPRes(linen.Module):
+    """Residual 2-layer MLP with linear shortcut."""
+
+    hidden: int
+    out: int
+
+    @linen.compact
+    def __call__(self, x: Array) -> Array:
+        shortcut = linen.Dense(self.out, name="shortcut")(x)
+        h = jax.nn.relu(linen.Dense(self.hidden, name="fc1")(x))
+        return linen.Dense(self.out, name="fc2")(h) + shortcut
+
+
+class SharedMLP(linen.Module):
+    """Per-point/per-neighbour Dense stack with optional BN and a
+    configurable (non-)activation on the final layer — the SA-module pattern:
+    ReLU on all but the last layer, last layer linear when ``last_act`` is
+    False (models/model_utils.py:453-459)."""
+
+    features: Sequence[int]
+    if_bn: bool = True
+    last_act: bool = True
+
+    @linen.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        n = len(self.features)
+        for i, f in enumerate(self.features):
+            x = linen.Dense(f, name=f"layer{i}")(x)
+            is_last = i == n - 1
+            if not is_last or self.last_act:
+                if self.if_bn:
+                    x = linen.BatchNorm(
+                        use_running_average=not train, axis=-1, name=f"bn{i}"
+                    )(x)
+                x = jax.nn.relu(x)
+        return x
+
+
+class MultiheadAttention(linen.Module):
+    """Multi-head attention with separate query/key/value inputs.
+
+    Equivalent wiring to torch ``nn.MultiheadAttention`` (packed in-proj +
+    out-proj) but with explicit per-stream Dense layers; the checkpoint
+    converter splits torch's packed weights accordingly. Shapes are
+    channels-last ``(B, N, d)``.
+    """
+
+    d_model: int
+    nhead: int
+
+    @linen.compact
+    def __call__(self, query: Array, key: Array, value: Array) -> Array:
+        d, h = self.d_model, self.nhead
+        assert d % h == 0, (d, h)
+        dh = d // h
+        q = linen.Dense(d, name="q_proj")(query)
+        k = linen.Dense(d, name="k_proj")(key)
+        v = linen.Dense(d, name="v_proj")(value)
+
+        def split(x):
+            b, n, _ = x.shape
+            return x.reshape(b, n, h, dh)
+
+        q, k, v = split(q), split(k), split(v)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dh)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(out.shape[0], out.shape[1], d)
+        return linen.Dense(d, name="out_proj")(out)
+
+
+class SelfAttentionBlock(linen.Module):
+    """Pre-LN self-attention block (models/model_utils.py:584-617).
+
+    x (B, N, d_in), pos (B, N, d_out) or None -> (B, N, d_out).
+    q = k = LN(proj(x)) + pos, value = LN(proj(x)); GELU FFN.
+    """
+
+    d_in: int
+    d_out: int
+    nhead: int = 4
+    dim_feedforward: int = 1024
+
+    @linen.compact
+    def __call__(self, x: Array, pos: Optional[Array] = None) -> Array:
+        src = linen.Dense(self.d_out, name="input_proj")(x)
+        src = linen.LayerNorm(name="norm13")(src)
+        qk = src if pos is None else src + pos
+        attn = MultiheadAttention(self.d_out, self.nhead, name="attn")(qk, qk, src)
+        src = src + attn
+        src = linen.LayerNorm(name="norm12")(src)
+        ff = linen.Dense(self.dim_feedforward, name="linear11")(src)
+        ff = linen.Dense(self.d_out, name="linear12")(jax.nn.gelu(ff, approximate=False))
+        return src + ff
+
+
+class CrossAttentionBlock(linen.Module):
+    """Pre-LN cross-attention block (models/model_utils.py:542-582).
+
+    Note the reference applies the *same* input projection and the same
+    pre-LN (norm13) to both streams — preserved here.
+    """
+
+    d_in: int
+    d_out: int
+    nhead: int = 4
+    dim_feedforward: int = 1024
+
+    @linen.compact
+    def __call__(self, src1: Array, src2: Array, pos: Optional[Array] = None) -> Array:
+        proj = linen.Dense(self.d_out, name="input_proj")
+        norm13 = linen.LayerNorm(name="norm13")
+        s1 = norm13(proj(src1))
+        s2 = norm13(proj(src2))
+        q = s1 if pos is None else s1 + pos
+        attn = MultiheadAttention(self.d_out, self.nhead, name="attn")(q, s2, s2)
+        s1 = s1 + attn
+        s1 = linen.LayerNorm(name="norm12")(s1)
+        ff = linen.Dense(self.dim_feedforward, name="linear11")(s1)
+        ff = linen.Dense(self.d_out, name="linear12")(jax.nn.gelu(ff, approximate=False))
+        return s1 + ff
+
+
+class SelfAttentionBlockNoProj(linen.Module):
+    """Self-attention block without the input projection
+    (models_PointSea/model_utils.py:463-494). Input dim must equal d_out."""
+
+    d_out: int
+    nhead: int = 4
+    dim_feedforward: int = 1024
+
+    @linen.compact
+    def __call__(self, x: Array, pos: Optional[Array] = None) -> Array:
+        src = linen.LayerNorm(name="norm13")(x)
+        qk = src if pos is None else src + pos
+        attn = MultiheadAttention(self.d_out, self.nhead, name="attn")(qk, qk, src)
+        src = src + attn
+        src = linen.LayerNorm(name="norm12")(src)
+        ff = linen.Dense(self.dim_feedforward, name="linear11")(src)
+        ff = linen.Dense(self.d_out, name="linear12")(jax.nn.gelu(ff, approximate=False))
+        return src + ff
+
+
+class PointSeaSDGDecoder(linen.Module):
+    """PointSea's decoder: two no-input-proj self-attention blocks at the
+    hidden width; the pos argument the reference passes is ignored inside
+    (models_PointSea/model_utils.py:496-509)."""
+
+    hidden_dim: int
+
+    @linen.compact
+    def __call__(self, x: Array) -> Array:
+        x = SelfAttentionBlockNoProj(self.hidden_dim, nhead=8, name="sa1")(x)
+        return SelfAttentionBlockNoProj(self.hidden_dim, nhead=8, name="sa2")(x)
+
+
+class SDGDecoder(linen.Module):
+    """Two stacked self-attention blocks (models/model_utils.py:619-629).
+
+    The PointSea variant is *called* with the positional embedding but its
+    inner blocks ignore it (models_PointSea/model_utils.py:496-509), so no
+    pos argument exists here.
+    """
+
+    hidden_dim: int
+    channel: int
+    ratio: int
+
+    @linen.compact
+    def __call__(self, x: Array) -> Array:
+        x = SelfAttentionBlock(self.hidden_dim, self.hidden_dim, nhead=8, name="sa1")(x)
+        return SelfAttentionBlock(
+            self.hidden_dim, self.channel * self.ratio, nhead=8, name="sa2"
+        )(x)
+
+
+class EdgeConv(linen.Module):
+    """DGCNN-style edge convolution (models/model_utils.py:847-881).
+
+    kNN graph built in the input *feature* space; edge features
+    ``[central - neighbour || central]``; shared MLP (BN + LeakyReLU(0.2) on
+    the first two layers, linear last); max over neighbours.
+
+    x (B, N, C_in) -> (B, N, C_out).
+    """
+
+    out_channels: int
+    k: int
+
+    @linen.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        neigh = group_local(x, k=self.k)  # (B, N, K, C)
+        central = jnp.repeat(x[:, :, None, :], self.k, axis=2)
+        edge = central - neigh
+        feat = jnp.concatenate([edge, central], axis=-1)
+        half = self.out_channels // 2
+        for i, (f, act) in enumerate([(half, True), (half, True), (self.out_channels, False)]):
+            feat = linen.Dense(f, name=f"conv{i}")(feat)
+            if act:
+                feat = linen.BatchNorm(
+                    use_running_average=not train, axis=-1, name=f"bn{i}"
+                )(feat)
+                feat = jax.nn.leaky_relu(feat, negative_slope=0.2)
+        return jnp.max(feat, axis=2)
+
+
+def dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (models/model_utils.py:389-398)."""
+    x = np.arange(n, dtype=np.float64)[None, :]
+    u = np.arange(n, dtype=np.float64)[:, None]
+    mat = np.cos((np.pi / n) * (x + 0.5) * u) * np.sqrt(2.0 / n)
+    mat[0, :] *= np.sqrt(0.5)
+    return mat.astype(np.float32)  # orthonormal: inverse = transpose
+
+
+class PCSA(linen.Module):
+    """Point Cloud Spectral Adapter (models/model_utils.py:358-429).
+
+    DCT-II along the neighbourhood axis, learned per-patch frequency gates
+    from channel-averaged features, inverse DCT. x (B, S, K, C) -> same.
+    """
+
+    k: int
+
+    @linen.compact
+    def __call__(self, x: Array) -> Array:
+        if self.k <= 0:
+            return x
+        dct = jnp.asarray(dct_matrix(self.k))  # (K, K): spec = dct @ sig
+        hidden = max(8, self.k // 2)
+        gate_in = jnp.mean(x, axis=-1)  # (B, S, K)
+        g = linen.Dense(hidden, name="freq_fc1")(gate_in)
+        g = linen.Dense(self.k, name="freq_fc2")(jax.nn.gelu(g, approximate=False))
+        gates = jax.nn.sigmoid(g)  # (B, S, K) frequency gates
+        spec = jnp.einsum("bskc,fk->bsfc", x, dct)
+        spec = spec * gates[..., None]
+        return jnp.einsum("bsfc,fk->bskc", spec, dct)
+
+
+class SinusoidalPositionalEmbedding(linen.Module):
+    """Interleaved sin/cos embedding of scalar indices, detached
+    (models/model_utils.py:883-909): output layout
+    [sin(w0 x), cos(w0 x), sin(w1 x), cos(w1 x), ...]."""
+
+    d_model: int
+
+    @linen.compact
+    def __call__(self, emb_indices: Array) -> Array:
+        assert self.d_model % 2 == 0
+        div = np.exp(
+            np.arange(0, self.d_model, 2, dtype=np.float32)
+            * (-np.log(10000.0) / self.d_model)
+        )
+        omegas = emb_indices[..., None] * jnp.asarray(div)  # (..., d/2)
+        emb = jnp.stack([jnp.sin(omegas), jnp.cos(omegas)], axis=-1)
+        emb = emb.reshape(emb_indices.shape + (self.d_model,))
+        return jax.lax.stop_gradient(emb)
+
+
+class PointNetSAModuleKNN(linen.Module):
+    """Set-abstraction with kNN grouping (models/model_utils.py:432-487).
+
+    xyz (B, N, 3), points (B, N, C) -> new_xyz (B, npoint, 3),
+    new_points (B, npoint, mlp[-1]) [, idx].
+    """
+
+    npoint: Optional[int]
+    nsample: Optional[int]
+    mlp: Sequence[int]
+    if_bn: bool = True
+    group_all: bool = False
+    use_xyz: bool = True
+    if_idx: bool = False
+    use_pcsa: bool = False
+
+    @linen.compact
+    def __call__(self, xyz: Array, points: Optional[Array], idx=None, train: bool = False):
+        if self.group_all:
+            new_xyz, new_points, idx, _ = sample_and_group_all(xyz, points, self.use_xyz)
+        else:
+            new_xyz, new_points, idx, _ = sample_and_group_knn(
+                xyz, points, self.npoint, self.nsample, self.use_xyz, idx=idx
+            )
+        new_points = SharedMLP(
+            self.mlp, if_bn=self.if_bn, last_act=False, name="mlp"
+        )(new_points, train=train)
+        if self.use_pcsa and not self.group_all:
+            new_points = PCSA(self.nsample, name="pcsa")(new_points)
+        new_points = jnp.max(new_points, axis=2)
+        if self.if_idx:
+            return new_xyz, new_points, idx
+        return new_xyz, new_points
+
+
+class PointNetSAModule(linen.Module):
+    """Set-abstraction with ball-query grouping (models/model_utils.py:161-207).
+
+    Capability-parity module (the three models use the kNN variant); note the
+    reference applies ReLU+BN after *every* layer here, unlike the kNN one.
+    """
+
+    npoint: Optional[int]
+    nsample: Optional[int]
+    radius: Optional[float]
+    mlp: Sequence[int]
+    if_bn: bool = True
+    group_all: bool = False
+    use_xyz: bool = True
+
+    @linen.compact
+    def __call__(self, xyz: Array, points: Optional[Array], train: bool = False):
+        if self.group_all:
+            new_xyz, new_points, _, _ = sample_and_group_all(xyz, points, self.use_xyz)
+        else:
+            new_xyz, new_points, _, _ = sample_and_group_ball(
+                xyz, points, self.npoint, self.nsample, self.radius, self.use_xyz
+            )
+        new_points = SharedMLP(
+            self.mlp, if_bn=self.if_bn, last_act=True, name="mlp"
+        )(new_points, train=train)
+        new_points = jnp.max(new_points, axis=2)
+        return new_xyz, new_points
+
+
+class PointNetFPModule(linen.Module):
+    """Feature propagation via inverse-distance 3-NN interpolation
+    (models/model_utils.py:209-256)."""
+
+    mlp: Sequence[int]
+    use_points1: bool = False
+    if_bn: bool = True
+
+    @linen.compact
+    def __call__(
+        self,
+        xyz1: Array,
+        xyz2: Array,
+        points1: Optional[Array],
+        points2: Array,
+        train: bool = False,
+    ) -> Array:
+        from svdformer_pointsea_tpu.ops import three_interpolate, three_nn
+
+        dist, idx = three_nn(xyz1, xyz2)
+        dist = jnp.maximum(dist, 1e-10)
+        recip = 1.0 / dist
+        weight = recip / jnp.sum(recip, axis=2, keepdims=True)
+        interp = three_interpolate(points2, idx, weight)
+        if self.use_points1:
+            interp = jnp.concatenate([interp, points1], axis=-1)
+        return SharedMLP(self.mlp, if_bn=self.if_bn, last_act=True, name="mlp")(
+            interp, train=train
+        )

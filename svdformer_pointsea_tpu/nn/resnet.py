@@ -1,0 +1,125 @@
+"""ResNet-18 trunks (flax.linen, NHWC).
+
+Two variants, mirroring the reference's two image encoders:
+
+- ``ImageTrunk``: SVDFormer's tiny depth-image encoder
+  (models/SVDFormer.py:112-147 + models/resnet.py with feature_size=16):
+  a stride-1 3x3 stem conv (1 -> feat_size) + BN + ReLU, then ResNet layers
+  1-4 (the 7x7 stem and maxpool are *dropped*, so layer1 runs at full
+  224x224 resolution), global average pool, squeeze -> (B, feat_size*8).
+
+- ``ResNet18``: the standard torchvision ResNet-18 trunk used by PointSea's
+  ``ResEncoder`` (models_PointSea/PointSea.py:37-61): 7x7/2 stem + maxpool +
+  layers 1-4, returning the (B, H/32, W/32, 512) feature map. Weights can be
+  seeded from torchvision's pretrained checkpoint via the converter in
+  ``train/checkpoint.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as linen
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class BasicBlock(linen.Module):
+    """ResNet v1 basic block, NHWC."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @linen.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        identity = x
+        out = linen.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=1, use_bias=False, name="conv1",
+        )(x)
+        out = linen.BatchNorm(use_running_average=not train, name="bn1")(out)
+        out = jax.nn.relu(out)
+        out = linen.Conv(
+            self.planes, (3, 3), padding=1, use_bias=False, name="conv2"
+        )(out)
+        # zero_init_residual: bn2 scale starts at 0 so each block starts as
+        # the identity (models/SVDFormer.py:129, resnet.py:170-175).
+        out = linen.BatchNorm(
+            use_running_average=not train, scale_init=linen.initializers.zeros,
+            name="bn2",
+        )(out)
+        if self.downsample:
+            identity = linen.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, name="down_conv",
+            )(x)
+            identity = linen.BatchNorm(
+                use_running_average=not train, name="down_bn"
+            )(identity)
+        return jax.nn.relu(out + identity)
+
+
+class _Layer(linen.Module):
+    planes: int
+    blocks: int
+    stride: int
+    in_planes: int
+
+    @linen.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        need_down = self.stride != 1 or self.in_planes != self.planes
+        x = BasicBlock(
+            self.planes, self.stride, downsample=need_down, name="block0"
+        )(x, train=train)
+        for i in range(1, self.blocks):
+            x = BasicBlock(self.planes, 1, name=f"block{i}")(x, train=train)
+        return x
+
+
+class ImageTrunk(linen.Module):
+    """SVDFormer depth-image encoder: (B, H, W, 1) -> (B, feat_size*8)."""
+
+    feat_size: int = 16
+    layers: Sequence[int] = (2, 2, 2, 2)
+
+    @linen.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        fs = self.feat_size
+        x = linen.Conv(fs, (3, 3), padding=1, use_bias=False, name="stem_conv")(x)
+        x = linen.BatchNorm(use_running_average=not train, name="stem_bn")(x)
+        x = jax.nn.relu(x)
+        in_planes = fs
+        for i, (mult, stride) in enumerate(zip((1, 2, 4, 8), (1, 2, 2, 2))):
+            x = _Layer(
+                fs * mult, self.layers[i], stride, in_planes, name=f"layer{i + 1}"
+            )(x, train=train)
+            in_planes = fs * mult
+        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1 + squeeze
+        return x
+
+
+class ResNet18(linen.Module):
+    """Standard ResNet-18 trunk: (B, H, W, 3) -> (B, H/32, W/32, 512)."""
+
+    layers: Sequence[int] = (2, 2, 2, 2)
+
+    @linen.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = linen.Conv(
+            64, (7, 7), strides=(2, 2), padding=3, use_bias=False, name="conv1"
+        )(x)
+        x = linen.BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = jax.nn.relu(x)
+        x = linen.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        in_planes = 64
+        for i, (planes, stride) in enumerate(
+            zip((64, 128, 256, 512), (1, 2, 2, 2))
+        ):
+            x = _Layer(
+                planes, self.layers[i], stride, in_planes, name=f"layer{i + 1}"
+            )(x, train=train)
+            in_planes = planes
+        return x

@@ -1,0 +1,254 @@
+"""SVDFormer: self-view-fusion encoder + dual-generator refinement.
+
+Re-architecture of models/SVDFormer.py for TPU: channels-last tensors, Dense
+matmuls on the MXU, fixed static shapes throughout, and the in-model chamfer
+conditioning computed as a tiled one-way nearest-neighbour query under
+``stop_gradient`` (the reference detaches the sinusoidal embedding,
+models/model_utils.py:908, so no gradient ever flows through that chamfer).
+
+Layout notes: the reference's channel-first ``reshape`` calls (seed
+unfolding models/SVDFormer.py:163, point-shuffle upsampling :86, positional
+embedding :77) reinterpret memory rather than transpose; the helper
+``torch_channel_reshape`` reproduces those exact element mappings so a
+converted reference checkpoint is numerically compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as linen
+import jax
+import jax.numpy as jnp
+
+from svdformer_pointsea_tpu.nn.layers import (
+    CrossAttentionBlock,
+    EdgeConv,
+    MLPConv,
+    PointNetSAModuleKNN,
+    SDGDecoder,
+    SelfAttentionBlock,
+    SinusoidalPositionalEmbedding,
+)
+from svdformer_pointsea_tpu.nn.resnet import ImageTrunk
+from svdformer_pointsea_tpu.ops import furthest_point_sample, gather_points
+from svdformer_pointsea_tpu.ops.distances import _nn_one_way
+
+Array = jax.Array
+
+
+def torch_channel_reshape(x_cl: Array, new_c: int, new_n: int) -> Array:
+    """Emulate ``tensor.reshape(B, new_c, new_n)`` on a channels-first torch
+    tensor, for our channels-last ``x_cl`` (B, N, C). Returns (B, new_n, new_c).
+    """
+    B = x_cl.shape[0]
+    xt = jnp.swapaxes(x_cl, 1, 2).reshape(B, new_c, new_n)
+    return jnp.swapaxes(xt, 1, 2)
+
+
+class FeatureExtractor(linen.Module):
+    """3-stage PointNet++ SA-KNN encoder (models/SVDFormer.py:11-36).
+
+    points (B, N, 3) -> global feature (B, 1, out_dim).
+    """
+
+    out_dim: int = 256
+    use_pcsa: bool = True
+
+    @linen.compact
+    def __call__(self, points: Array, train: bool = False) -> Array:
+        l1_xyz, l1_points, _ = PointNetSAModuleKNN(
+            512, 16, (64, 128), if_bn=False, if_idx=True,
+            use_pcsa=self.use_pcsa, name="sa1",
+        )(points, points, train=train)
+        l2_xyz, l2_points, _ = PointNetSAModuleKNN(
+            128, 16, (128, 256), if_bn=False, if_idx=True,
+            use_pcsa=self.use_pcsa, name="sa2",
+        )(l1_xyz, l1_points, train=train)
+        _, l3_points = PointNetSAModuleKNN(
+            None, None, (512, self.out_dim), if_bn=False, group_all=True,
+            name="sa3",
+        )(l2_xyz, l2_points, train=train)
+        return l3_points  # (B, 1, out_dim)
+
+
+class SVFNet(linen.Module):
+    """Self-view fusion encoder + coarse seed generator
+    (models/SVDFormer.py:92-166)."""
+
+    view_distance: float
+    use_pcsa: bool = True
+    channel: int = 64
+
+    @linen.compact
+    def __call__(self, points: Array, depth: Array, train: bool = False):
+        """points (B, N, 3); depth (B, V=3, H, W) -> (f_g (B,1,512), coarse)."""
+        B, N, _ = points.shape
+        V = depth.shape[1]
+        img = depth.reshape(B * V, depth.shape[2], depth.shape[3], 1)
+        f_v = ImageTrunk(feat_size=16, name="img_trunk")(img, train=train)
+        f_v = f_v.reshape(B, V, -1)  # (B, 3, 128) — batch-major view-minor
+        f_p = FeatureExtractor(use_pcsa=self.use_pcsa, name="point_fe")(
+            points, train=train
+        )  # (B, 1, 256)
+
+        # View tokens carry their camera position (models/SVDFormer.py:155-156).
+        d = self.view_distance
+        view_point = jnp.asarray(
+            [[0.0, 0.0, -d], [-d, 0.0, 0.0], [0.0, d, 0.0]], jnp.float32
+        )
+        view_point = jnp.broadcast_to(view_point[None], (B, 3, 3))
+        view_feature = MLPConv((64, 256), name="posmlp")(view_point)  # (B,3,256)
+
+        fused = jnp.concatenate(
+            [f_v, jnp.broadcast_to(f_p, (B, V, f_p.shape[-1]))], axis=-1
+        )  # (B, 3, 384)
+        f_v_ = SelfAttentionBlock(384, 256, name="viewattn")(fused, pos=view_feature)
+        f_v_ = jnp.max(f_v_, axis=1, keepdims=True)  # adaptive max pool -> (B,1,256)
+        f_g = jnp.concatenate([f_p, f_v_], axis=-1)  # (B, 1, 512)
+
+        # Seed generation: ConvTranspose1d(512->64, k=128) on a length-1
+        # input is a Dense 512 -> 64*128; torch lays it out channel-major.
+        c = self.channel
+        x = linen.Dense(c * 128, name="ps")(f_g[:, 0, :])
+        x = jnp.swapaxes(x.reshape(B, c, 128), 1, 2)  # (B, 128, 64)
+        x = jax.nn.gelu(x, approximate=False)
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(f_g, (B, 128, 512))], axis=-1
+        )  # (B, 128, 576)
+        x = jax.nn.gelu(
+            linen.Dense(c * 8, name="ps_refuse")(x), approximate=False
+        )  # (B, 128, 512)
+        x2 = SelfAttentionBlock(c * 8, c * 8, name="sa")(x)
+        # 128 seed tokens x 8c channels unfold to 256 coarse points x 4c —
+        # the reference writes N//8 here, which equals 256 only because its
+        # pipelines always feed N=2048 (models/SVDFormer.py:163); we use the
+        # shape-derived constant so any N works.
+        n_coarse = (128 * c * 8) // (c * 4)
+        x2_d = torch_channel_reshape(x2, c * 4, n_coarse)  # (B, N//8, 256)
+        h = jnp.concatenate(
+            [x2_d, jnp.broadcast_to(f_g, (B, n_coarse, 512))], axis=-1
+        )
+        h = jax.nn.gelu(linen.Dense(64, name="conv_out1")(h), approximate=False)
+        coarse = linen.Dense(3, name="conv_out")(h)  # (B, N//8, 3)
+        return f_g, coarse
+
+
+class SDG(linen.Module):
+    """Self-structure dual-generator refinement stage
+    (models/SVDFormer.py:38-90).
+
+    Structure-analysis path: self-attention conditioned on the per-point
+    distance-to-partial embedding. Similarity-alignment path: cross-attention
+    to local EdgeConv features. Point-shuffle upsampling by ``ratio``.
+    """
+
+    ratio: int
+    hidden_dim: int = 512
+    channel: int = 128
+    sdg_decoder: bool = True  # reference: dataset == 'ShapeNet'
+    sigma: float = 0.2
+
+    @linen.compact
+    def __call__(
+        self,
+        local_feat: Array,
+        coarse: Array,
+        f_g: Array,
+        partial: Array,
+        train: bool = False,
+    ) -> Array:
+        B, N, _ = coarse.shape
+        ch, hidden, ratio = self.channel, self.hidden_dim, self.ratio
+
+        F = linen.Dense(64, name="conv_x")(coarse)
+        F = linen.Dense(ch, name="conv_x1")(jax.nn.gelu(F, approximate=False))
+        g = linen.Dense(256, name="conv_11")(f_g)
+        g = linen.Dense(ch, name="conv_1")(jax.nn.gelu(g, approximate=False))
+        F = jnp.concatenate([F, jnp.broadcast_to(g, (B, N, ch))], axis=-1)
+
+        # Structure analysis: squared NN distance to the partial input, scaled
+        # by sigma, sinusoidally embedded. Forward-only (embedding detached).
+        half_cd, _ = _nn_one_way(jax.lax.stop_gradient(coarse),
+                                 jax.lax.stop_gradient(partial))
+        half_cd = half_cd / self.sigma
+        emb = SinusoidalPositionalEmbedding(hidden, name="embedding")(half_cd)
+        # Reference reinterprets (B, N, hidden) memory as (B, hidden, N) then
+        # permutes to seq-first (models/SVDFormer.py:77) — same bytes, our
+        # channels-last view of it is:
+        pos = jnp.swapaxes(emb.reshape(B, hidden, N), 1, 2)
+
+        F_Q = SelfAttentionBlock(ch * 2, hidden, nhead=8, name="sa1")(F, pos=pos)
+        if self.sdg_decoder:
+            F_Q_ = SDGDecoder(hidden, ch, ratio, name="decoder1")(F_Q)
+        else:
+            F_Q_ = SelfAttentionBlock(hidden, ch * ratio, nhead=8, name="decoder1")(F_Q)
+
+        # Similarity alignment against local features.
+        lf = MLPConv((256, hidden), name="mlpp")(local_feat)
+        F_H = CrossAttentionBlock(hidden, hidden, nhead=8, name="cross1")(F_Q, lf)
+        if self.sdg_decoder:
+            F_H_ = SDGDecoder(hidden, ch, ratio, name="decoder2")(F_H)
+        else:
+            F_H_ = SelfAttentionBlock(hidden, ch * ratio, nhead=8, name="decoder2")(F_H)
+
+        # Point-shuffle upsample (channel-major unfold) + coordinate offset.
+        F_L = linen.Dense(ch * ratio, name="conv_ps")(
+            jnp.concatenate([F_Q_, F_H_], axis=-1)
+        )
+        F_L = torch_channel_reshape(F_L, ch, N * ratio)  # (B, N*ratio, ch)
+        F_L = linen.Dense(ch, name="conv_delta")(F_L)
+        O_L = linen.Dense(64, name="conv_out1")(F_L)
+        O_L = linen.Dense(3, name="conv_out")(jax.nn.gelu(O_L, approximate=False))
+        return jnp.tile(coarse, (1, ratio, 1)) + O_L
+
+
+class LocalEncoder(linen.Module):
+    """EdgeConv local feature pyramid (models/SVDFormer.py:168-181)."""
+
+    local_points: int = 512
+
+    @linen.compact
+    def __call__(self, points: Array, train: bool = False) -> Array:
+        x1 = EdgeConv(64, 16, name="gcn1")(points, train=train)
+        idx = furthest_point_sample(points, self.local_points)
+        x1 = gather_points(x1, idx)
+        return EdgeConv(256, 8, name="gcn2")(x1, train=train)  # (B, local, 256)
+
+
+class SVDFormer(linen.Module):
+    """Full SVDFormer (models/SVDFormer.py:183-204).
+
+    __call__(partial (B, N, 3), depth (B, 3, H, W)) ->
+        (coarse (B, N//8, 3), fine1 (B, merge*step1, 3),
+         fine2 (B, merge*step1*... , 3)) — PCN: (256, 2048, 16384).
+    """
+
+    step1: int = 4
+    step2: int = 8
+    merge_points: int = 512
+    local_points: int = 512
+    view_distance: float = 0.7
+    use_pcsa: bool = True
+    sdg_decoder: bool = True  # False for the ShapeNet-55 configs
+
+    @linen.compact
+    def __call__(self, partial: Array, depth: Array, train: bool = False):
+        feat_g, coarse = SVFNet(
+            self.view_distance, use_pcsa=self.use_pcsa, name="encoder"
+        )(partial, depth, train=train)
+        local_feat = LocalEncoder(self.local_points, name="localencoder")(
+            partial, train=train
+        )
+
+        merged = jnp.concatenate([partial, coarse], axis=1)
+        idx = furthest_point_sample(merged, self.merge_points)
+        coarse_merge = gather_points(merged, idx)
+
+        fine1 = SDG(
+            self.step1, hidden_dim=768, sdg_decoder=self.sdg_decoder, name="refine1"
+        )(local_feat, coarse_merge, feat_g, partial, train=train)
+        fine2 = SDG(
+            self.step2, hidden_dim=512, sdg_decoder=self.sdg_decoder, name="refine2"
+        )(local_feat, fine1, feat_g, partial, train=train)
+        return coarse, fine1, fine2
