@@ -1,0 +1,156 @@
+"""Train state, optimizer, LR schedule, and the jitted train/eval steps.
+
+The LR schedule reproduces the reference's composite
+GradualWarmupScheduler semantics (utils/schedular.py + core/train_pcn.py):
+linear warmup to the base LR over the first ``warmup_steps`` *optimizer
+steps* (stepped per batch), then per-epoch MultiStep/Step decay. We compute
+the scalar on host per step and feed it to an ``inject_hyperparams`` Adam —
+bit-exact control without retracing.
+
+The train step is a single jitted function over the data mesh: batch-sharded
+inputs, replicated params; XLA inserts the gradient all-reduce over ICI from
+the shardings (no explicit collectives — SURVEY.md §2.3's TPU-native DP).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from svdformer_pointsea_tpu.losses import get_loss, get_loss_pm
+
+Array = jax.Array
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def reference_lr_schedule(
+    base_lr: float,
+    warmup_steps: int,
+    lr_decay_step,
+    gamma: float,
+) -> Callable[[int, int], float]:
+    """lr(optimizer_step, completed_epochs) — reference semantics.
+
+    - Warmup: lr = base * min(step, warmup)/warmup for the first
+      ``warmup_steps`` batches (core/train_pcn.py:132-134).
+    - Decay (after warmup): MultiStepLR when ``lr_decay_step`` is a list of
+      epoch milestones (PCN), StepLR(step_size) when an int (ShapeNet-55),
+      stepped once per epoch (core/train_pcn.py:140).
+    """
+
+    def lr(step: int, epoch: int) -> float:
+        warm = min(step, warmup_steps) / warmup_steps if warmup_steps > 0 else 1.0
+        if isinstance(lr_decay_step, int):
+            decay = gamma ** (epoch // lr_decay_step)
+        else:
+            decay = gamma ** sum(1 for m in lr_decay_step if m <= epoch)
+        return base_lr * warm * decay
+
+    return lr
+
+
+def make_optimizer(weight_decay: float = 0.0, betas=(0.9, 0.999)) -> optax.GradientTransformation:
+    """Adam (PCN) / AdamW (ShapeNet-55, wd=5e-4) with injectable LR."""
+    if weight_decay > 0:
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=0.0, b1=betas[0], b2=betas[1], weight_decay=weight_decay
+        )
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=0.0, b1=betas[0], b2=betas[1]
+    )
+
+
+def create_train_state(
+    model,
+    rng: Array,
+    sample_inputs: Sequence[Array],
+    optimizer: optax.GradientTransformation,
+) -> TrainState:
+    variables = model.init(rng, *sample_inputs, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    sqrt_loss: bool = True,
+    partial_matching: bool = False,
+    donate: bool = True,
+):
+    """Build the jitted DP train step.
+
+    signature: (state, partial, depth, gt, lr) -> (state, metrics)
+    metrics = {'loss', 'cdc', 'cd1', 'cd2'} (scalars).
+    """
+
+    def step_fn(state: TrainState, partial, depth, gt, lr):
+        def loss_fn(params):
+            outs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                partial,
+                depth,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            if partial_matching:
+                loss, parts = get_loss_pm(outs, partial, gt, sqrt=sqrt_loss)
+            else:
+                loss, parts = get_loss(outs, gt, sqrt=sqrt_loss)
+            return loss, (parts, mutated["batch_stats"])
+
+        (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        opt_state = _set_lr(state.opt_state, lr)
+        updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_bs,
+            opt_state=opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "cdc": parts[0],
+            "cd1": parts[1],
+            "cd2": parts[2],
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def _set_lr(opt_state, lr):
+    """Set the injected learning_rate hyperparameter."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)
+
+
+def make_eval_step(model):
+    """Jitted forward pass in eval mode: (variables, partial, depth) -> preds."""
+
+    @jax.jit
+    def eval_step(variables, partial, depth):
+        return model.apply(variables, partial, depth, train=False)
+
+    return eval_step
