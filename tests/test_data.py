@@ -1,0 +1,218 @@
+"""Data layer tests: native PCD IO, transforms, crop synthesis, loader."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svdformer_pointsea_tpu.data import (
+    FIXED_CORNERS,
+    IO,
+    Loader,
+    crop_fixed,
+    crop_random_resampled,
+    make_dataset,
+    random_crop_params,
+    read_pcd,
+    write_pcd,
+)
+from svdformer_pointsea_tpu.data.io import _load_native, _read_pcd_python
+from svdformer_pointsea_tpu.data.transforms import (
+    pc_norm,
+    random_mirror_points,
+    up_sample_points,
+)
+from svdformer_pointsea_tpu.configs import pcn_config
+
+
+def test_native_lib_builds():
+    assert _load_native() is not None, "native pcdio failed to build"
+
+
+def test_pcd_ascii_roundtrip(tmp_path, rng):
+    pts = rng.rand(100, 3).astype(np.float32)
+    path = str(tmp_path / "a.pcd")
+    write_pcd(path, pts)
+    got = read_pcd(path)
+    np.testing.assert_allclose(got, pts, atol=1e-5)
+    # Python fallback agrees with the native parser.
+    np.testing.assert_allclose(_read_pcd_python(path), pts, atol=1e-5)
+
+
+def _write_binary_pcd(path, pts, extra_field=False):
+    n = len(pts)
+    fields = "x y z" + (" rgb" if extra_field else "")
+    sizes = "4 4 4" + (" 4" if extra_field else "")
+    types = "F F F" + (" U" if extra_field else "")
+    counts = "1 1 1" + (" 1" if extra_field else "")
+    header = (
+        "VERSION 0.7\n"
+        f"FIELDS {fields}\nSIZE {sizes}\nTYPE {types}\nCOUNT {counts}\n"
+        f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\nDATA binary\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if extra_field:
+            rec = np.zeros((n, 4), np.float32)
+            rec[:, :3] = pts
+            f.write(rec.astype("<f4").tobytes())
+        else:
+            f.write(pts.astype("<f4").tobytes())
+
+
+def test_pcd_binary(tmp_path, rng):
+    pts = rng.rand(64, 3).astype(np.float32)
+    path = str(tmp_path / "b.pcd")
+    _write_binary_pcd(path, pts)
+    np.testing.assert_allclose(read_pcd(path), pts, atol=1e-6)
+    np.testing.assert_allclose(_read_pcd_python(path), pts, atol=1e-6)
+    # With an extra interleaved field.
+    path2 = str(tmp_path / "b2.pcd")
+    _write_binary_pcd(path2, pts, extra_field=True)
+    np.testing.assert_allclose(read_pcd(path2), pts, atol=1e-6)
+
+
+def _lzf_literal_compress(raw: bytes) -> bytes:
+    """Valid LZF stream using only literal runs (ctrl < 32)."""
+    out = bytearray()
+    for i in range(0, len(raw), 32):
+        chunk = raw[i : i + 32]
+        out.append(len(chunk) - 1)
+        out.extend(chunk)
+    return bytes(out)
+
+
+def test_pcd_binary_compressed(tmp_path, rng):
+    pts = rng.rand(50, 3).astype(np.float32)
+    n = len(pts)
+    # field-major (SoA) storage
+    raw = b"".join(pts[:, i].astype("<f4").tobytes() for i in range(3))
+    comp = _lzf_literal_compress(raw)
+    header = (
+        "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
+        "DATA binary_compressed\n"
+    )
+    path = str(tmp_path / "c.pcd")
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(np.asarray([len(comp), len(raw)], "<u4").tobytes())
+        f.write(comp)
+    np.testing.assert_allclose(read_pcd(path), pts, atol=1e-6)
+
+
+def test_upsample_points(rng):
+    pts = rng.rand(700, 3).astype(np.float32)
+    out = up_sample_points(pts, 2048, np.random.RandomState(0))
+    assert out.shape == (2048, 3)
+    # Downsampling path.
+    out2 = up_sample_points(rng.rand(4000, 3).astype(np.float32), 2048,
+                            np.random.RandomState(0))
+    assert out2.shape == (2048, 3)
+
+
+def test_random_mirror_quartiles(rng):
+    pts = rng.rand(10, 3).astype(np.float32)
+    np.testing.assert_allclose(random_mirror_points(pts, 0.9), pts)
+    m1 = random_mirror_points(pts, 0.4)  # x mirror
+    np.testing.assert_allclose(m1[:, 0], -pts[:, 0])
+    np.testing.assert_allclose(m1[:, 1:], pts[:, 1:])
+    m2 = random_mirror_points(pts, 0.6)  # z mirror
+    np.testing.assert_allclose(m2[:, 2], -pts[:, 2])
+    m3 = random_mirror_points(pts, 0.1)  # both
+    np.testing.assert_allclose(m3[:, 0], -pts[:, 0])
+    np.testing.assert_allclose(m3[:, 2], -pts[:, 2])
+
+
+def test_pc_norm(rng):
+    pts = rng.rand(100, 3) * 7 + 3
+    out = pc_norm(pts)
+    assert np.abs(out.mean(0)).max() < 1.0
+    assert np.isclose(np.sqrt((out**2).sum(1)).max(), 1.0, atol=1e-6)
+
+
+def _seprate_numpy(xyz, num_crop, center):
+    """Transcription of helpers.py:62-123 for a single sample, fixed crop."""
+    d = np.linalg.norm(center[None, :] - xyz, axis=-1)
+    idx = np.argsort(d)
+    return xyz[idx[num_crop:]], xyz[idx[:num_crop]]
+
+
+def test_crop_fixed_matches_reference(rng):
+    gt = rng.rand(2, 128, 3).astype(np.float32)
+    corner = np.broadcast_to(FIXED_CORNERS[2], (2, 3)).copy()
+    partial, crop = crop_fixed(jnp.asarray(gt), jnp.asarray(corner), 32)
+    for b in range(2):
+        ref_in, ref_crop = _seprate_numpy(gt[b], 32, corner[b])
+        np.testing.assert_allclose(np.asarray(partial)[b], ref_in, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(crop)[b], ref_crop, atol=1e-6)
+
+
+def test_crop_random_shapes_and_validity(rng):
+    B, N = 4, 512
+    gt = pc_norm(rng.rand(N, 3).astype(np.float32))[None].repeat(B, 0)
+    num_crop, dirs = random_crop_params(np.random.RandomState(1), B, N)
+    partial, crop = crop_random_resampled(
+        jnp.asarray(gt), jnp.asarray(dirs), jnp.asarray(num_crop), 128
+    )
+    assert partial.shape == (B, 128, 3)
+    assert crop.shape == (B, 128, 3)
+    # Every output point must be an actual input point (no zero padding
+    # leaked through FPS) — except when a genuine near-origin point exists.
+    for b in range(B):
+        src = {tuple(np.round(p, 5)) for p in gt[b]}
+        for p in np.asarray(partial)[b]:
+            assert tuple(np.round(p, 5)) in src
+
+
+def test_pcn_dataset_and_loader(tmp_path, rng):
+    # Synthesize a tiny PCN-format dataset tree + index.
+    cfg = pcn_config()
+    root = tmp_path / "pcn"
+    cats = [{"taxonomy_id": "02691156", "taxonomy_name": "plane",
+             "train": ["m0", "m1", "m2"], "val": ["m3"], "test": ["m4"]}]
+    index = tmp_path / "ShapeNet.json"
+    index.write_text(json.dumps(cats))
+    for subset, ids in (("train", ["m0", "m1", "m2"]), ("test", ["m4"])):
+        for mid in ids:
+            cdir = root / subset / "complete" / "02691156"
+            cdir.mkdir(parents=True, exist_ok=True)
+            write_pcd(str(cdir / f"{mid}.pcd"), rng.rand(300, 3).astype(np.float32))
+            if subset == "train":
+                for i in range(2):
+                    pdir = root / subset / "partial" / "02691156" / mid
+                    pdir.mkdir(parents=True, exist_ok=True)
+                    write_pcd(str(pdir / f"{i:02d}.pcd"),
+                              rng.rand(150, 3).astype(np.float32))
+            else:
+                pdir = root / subset / "partial" / "02691156" / f"{mid}"
+                pdir.mkdir(parents=True, exist_ok=True)
+                write_pcd(str(pdir / "00.pcd"), rng.rand(150, 3).astype(np.float32))
+
+    import dataclasses
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            category_file=str(index),
+            n_renderings=2,
+            partial_points_path=str(root) + "/%s/partial/%s/%s/%02d.pcd",
+            complete_points_path=str(root) + "/%s/complete/%s/%s.pcd",
+        )
+    )
+    ds = make_dataset(cfg, "train")
+    assert len(ds) == 3
+    tax, mid, data = ds[0]
+    assert data["partial_cloud"].shape == (2048, 3)
+    assert data["gtcloud"].shape == (300, 3)
+
+    loader = Loader(ds, batch_size=2, shuffle=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0].data["partial_cloud"].shape == (2, 2048, 3)
+    assert batches[1].valid == 1  # padded trailing batch
+
+    ds_test = make_dataset(cfg, "test")
+    tax, mid, data = ds_test[0]
+    assert data["partial_cloud"].shape == (2048, 3)
