@@ -94,6 +94,6 @@ def test_calc_dcd_vs_numpy(rng):
 def test_identical_clouds_give_zero_cd(rng):
     x = jnp.asarray(rng.rand(1, 32, 3), jnp.float32)
     cd_p, cd_t = calc_cd(x, x)
-    assert float(cd_t) < 1e-9
+    assert float(cd_t[0]) < 1e-9
     dcd, _, _ = calc_dcd(x, x)
-    assert float(dcd) < 1e-5
+    assert float(dcd[0]) < 1e-5
