@@ -22,6 +22,11 @@ import json
 import time
 
 import jax
+
+# Persistent compile cache: tunnel compiles are minutes; amortize them.
+from svdformer_pointsea_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,7 +60,7 @@ def main() -> None:
     best_bs = 0
     init_partial = jnp.asarray(rng.rand(2, N, 3).astype(np.float32) * 0.5)
     init_depth = render.get_img(init_partial)
-    variables = model.init(jax.random.PRNGKey(0), init_partial, init_depth)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), init_partial, init_depth)
 
     for bs in (8, 16, 32):
         partial = jnp.asarray(rng.rand(bs, N, 3).astype(np.float32) * 0.5 - 0.25)

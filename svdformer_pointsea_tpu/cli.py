@@ -1,0 +1,106 @@
+"""Command-line entrypoints (reference: main_pcn.py / main_55.py /
+main_geospec.py:22-48 — flags ``--test`` / ``--inference``, plus
+``--weights`` / ``--run_id`` overrides on the geospec track; both --test and
+--inference route to evaluation, as in main_pcn.py:40-46).
+
+Usage (thin wrappers at the repo root):
+    python main_pcn.py [--test|--inference] [--weights PATH]
+    python main_55.py [--test|--inference] [--mode easy|median|hard]
+    python main_geospec.py [--test|--inference] [--weights PATH] [--run_id N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pprint import pprint
+
+from svdformer_pointsea_tpu.configs import (
+    Config,
+    geospec_config,
+    pcn_config,
+    shapenet55_config,
+)
+
+
+def _parser(track: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=f"SVDFormer/PointSea TPU — {track}")
+    p.add_argument("--test", action="store_true", help="Test neural networks")
+    p.add_argument(
+        "--inference", action="store_true", help="Inference for benchmark"
+    )
+    p.add_argument("--weights", default=None, help="checkpoint to load")
+    p.add_argument("--out", default=None, help="output directory override")
+    p.add_argument(
+        "--epochs", type=int, default=None, help="override number of epochs"
+    )
+    if track == "55":
+        p.add_argument(
+            "--mode", default=None, choices=["easy", "median", "hard"],
+            help="eval crop difficulty",
+        )
+    if track == "geospec":
+        p.add_argument("--run_id", type=int, default=0, help="run id tag")
+    return p
+
+
+def _apply_overrides(cfg: Config, args) -> Config:
+    if args.weights:
+        cfg = cfg.replace(weights=args.weights)
+    if args.out:
+        cfg = cfg.replace(out_path=args.out)
+    if args.epochs is not None:
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, n_epochs=args.epochs))
+    return cfg
+
+
+def _dispatch(cfg: Config, args, mode=None) -> None:
+    from svdformer_pointsea_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    from svdformer_pointsea_tpu.train import test_net, train_net
+    from svdformer_pointsea_tpu.train.gan import train_net_gan
+
+    print("Use config:")
+    pprint(cfg)
+    if not args.test and not args.inference:
+        if cfg.train.adv_enabled or cfg.network.model == "geospecnet":
+            train_net_gan(cfg)
+        else:
+            train_net(cfg)
+    else:
+        if cfg.weights is None:
+            raise SystemExit(
+                "Please specify the path to a checkpoint (--weights)!"
+            )
+        test_net(cfg, mode=mode)
+
+
+def main_pcn(argv=None) -> None:
+    logging.basicConfig(
+        format="[%(levelname)s] %(asctime)s %(message)s", level=logging.DEBUG
+    )
+    args = _parser("pcn").parse_args(argv)
+    _dispatch(_apply_overrides(pcn_config(), args), args)
+
+
+def main_55(argv=None) -> None:
+    logging.basicConfig(
+        format="[%(levelname)s] %(asctime)s %(message)s", level=logging.DEBUG
+    )
+    args = _parser("55").parse_args(argv)
+    cfg = shapenet55_config(mode=args.mode or "easy")
+    _dispatch(_apply_overrides(cfg, args), args, mode=args.mode)
+
+
+def main_geospec(argv=None) -> None:
+    logging.basicConfig(
+        format="[%(levelname)s] %(asctime)s %(message)s", level=logging.DEBUG
+    )
+    args = _parser("geospec").parse_args(argv)
+    cfg = geospec_config()
+    if args.run_id:
+        cfg = cfg.replace(out_path=f"{cfg.out_path}_{args.run_id}")
+    _dispatch(_apply_overrides(cfg, args), args)

@@ -130,7 +130,11 @@ def furthest_point_sample(xyz: Array, npoint: int) -> Array:
     """FPS: (B, N, 3) float -> (B, npoint) int32 indices.
 
     Dispatches to the Pallas kernel on TPU, the scan oracle elsewhere.
+    Non-differentiable like the reference op (pointnet2_utils.py:56) — the
+    stop_gradient also keeps grad tracing out of the Pallas call, which has
+    no JVP rule.
     """
+    xyz = jax.lax.stop_gradient(xyz)
     if npoint == 1:
         return jnp.zeros((xyz.shape[0], 1), jnp.int32)
     if jax.default_backend() == "tpu":

@@ -3,8 +3,9 @@
 from svdformer_pointsea_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    make_mesh_for_batch,
     replicated_sharding,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = ["make_mesh", "make_mesh_for_batch", "batch_sharding", "replicated_sharding", "shard_batch"]

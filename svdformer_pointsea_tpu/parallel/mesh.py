@@ -32,6 +32,17 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_mesh_for_batch(batch_size: int) -> Mesh:
+    """Mesh over the largest device prefix whose size divides ``batch_size``
+    (the fixed-shape analogue of DataParallel's uneven scatter — we instead
+    keep shards even by shrinking the mesh)."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

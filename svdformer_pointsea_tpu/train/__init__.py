@@ -5,7 +5,25 @@ from svdformer_pointsea_tpu.train.state import (
     create_train_state,
     make_train_step,
     make_eval_step,
+    make_optimizer,
     reference_lr_schedule,
+)
+from svdformer_pointsea_tpu.train.checkpoint import (
+    CheckpointManager,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from svdformer_pointsea_tpu.train.evaluate import eval_55, eval_pcn
+from svdformer_pointsea_tpu.train.loop import build_model, init_state, test_net, train_net
+from svdformer_pointsea_tpu.train.convert import (
+    convert_state_dict,
+    load_torch_checkpoint,
+)
+from svdformer_pointsea_tpu.train.gan import (
+    GANTrainState,
+    create_gan_state,
+    make_gan_train_step,
+    train_net_gan,
 )
 
 __all__ = [
@@ -13,5 +31,21 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_eval_step",
+    "make_optimizer",
     "reference_lr_schedule",
+    "CheckpointManager",
+    "restore_checkpoint",
+    "save_checkpoint",
+    "convert_state_dict",
+    "load_torch_checkpoint",
+    "eval_55",
+    "eval_pcn",
+    "build_model",
+    "init_state",
+    "test_net",
+    "train_net",
+    "GANTrainState",
+    "create_gan_state",
+    "make_gan_train_step",
+    "train_net_gan",
 ]

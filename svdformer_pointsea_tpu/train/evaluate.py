@@ -1,0 +1,186 @@
+"""Evaluation loops: PCN per-category eval and ShapeNet-55 crop-mode eval.
+
+TPU-native re-design of core/test_pcn.py and core/test_55.py / core/eval_55.py:
+instead of the reference's batch_size=1 CPU-bound loop, the whole
+render → forward → metric computation is one jitted, batched function;
+only the per-taxonomy bookkeeping stays on host. Padding rows added by the
+fixed-shape Loader are dropped via ``batch.valid``.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svdformer_pointsea_tpu.configs import Config
+from svdformer_pointsea_tpu.data import FIXED_CORNERS, crop_fixed
+from svdformer_pointsea_tpu.losses import calc_cd, calc_dcd
+from svdformer_pointsea_tpu.ops import fps_subsample
+from svdformer_pointsea_tpu.render import PCViews
+from svdformer_pointsea_tpu.utils import AverageMeter
+
+METRIC_NAMES = ["cd", "dcd", "f1"]
+
+# Crop fractions per difficulty (core/test_55.py:49).
+CROP_RATIO = {"easy": 1 / 4, "median": 1 / 2, "hard": 3 / 4}
+
+
+def _per_sample_metrics(pred, gt, sqrt_cd: bool):
+    """(cd ×10³, dcd, f1) per sample. ``sqrt_cd``: CD-L1 (PCN, test_pcn.py:63)
+    vs CD-L2 sum (ShapeNet-55, test_55.py:76)."""
+    cd_p, cd_t, f1 = calc_cd(pred, gt, calc_f1=True)
+    dcd, _, _ = calc_dcd(pred, gt)
+    cd = cd_p if sqrt_cd else cd_t
+    return cd * 1e3, dcd, f1
+
+
+def make_pcn_eval_fn(model, render: PCViews):
+    """Jitted (variables, partial, gt) -> stacked (3, B) metrics."""
+
+    @jax.jit
+    def fn(variables, partial, gt):
+        depth = render._get_img(partial)
+        preds = model.apply(variables, partial, depth, train=False)
+        cd, dcd, f1 = _per_sample_metrics(preds[-1], gt, sqrt_cd=True)
+        return jnp.stack([cd, dcd, f1])
+
+    return fn
+
+
+def eval_pcn(
+    cfg: Config,
+    model,
+    variables,
+    loader,
+    logger=None,
+    epoch: int = 0,
+) -> float:
+    """PCN eval (core/test_pcn.py): per-taxonomy CD-L1×10³ / DCD / F1 table.
+
+    Returns the mean CD (the best-checkpoint selection metric,
+    core/test_pcn.py:115).
+    """
+    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
+    eval_fn = make_pcn_eval_fn(model, render)
+
+    category_metrics: Dict[str, AverageMeter] = {}
+    test_metrics = AverageMeter(METRIC_NAMES)
+    for batch in loader:
+        m = np.asarray(
+            eval_fn(
+                variables,
+                jnp.asarray(batch.data["partial_cloud"]),
+                jnp.asarray(batch.data["gtcloud"]),
+            )
+        )
+        for i in range(batch.valid):
+            vals = [float(m[0, i]), float(m[1, i]), float(m[2, i])]
+            tax = batch.taxonomy_ids[i]
+            if tax not in category_metrics:
+                category_metrics[tax] = AverageMeter(METRIC_NAMES)
+            category_metrics[tax].update(vals)
+            test_metrics.update(vals)
+
+    _print_category_table(category_metrics, test_metrics)
+    if logger is not None:
+        for i, name in enumerate(METRIC_NAMES):
+            logger.add_scalar(f"Test/{name}", test_metrics.avg(i), epoch)
+    return test_metrics.avg(0)
+
+
+def make_55_eval_fn(model, render: PCViews, num_crop: int, n_sample: int = 2048):
+    """Jitted (variables, gt, corner(B,3)) -> stacked (3, B) metrics for one
+    fixed-corner crop (core/test_55.py:71-82)."""
+
+    @functools.partial(jax.jit)
+    def fn(variables, gt, corner):
+        partial, _ = crop_fixed(gt, corner, num_crop)
+        partial = fps_subsample(partial, n_sample)
+        depth = render._get_img(partial)
+        preds = model.apply(variables, partial, depth, train=False)
+        cd, dcd, f1 = _per_sample_metrics(preds[-1], gt, sqrt_cd=False)
+        return jnp.stack([cd, dcd, f1])
+
+    return fn
+
+
+def eval_55(
+    cfg: Config,
+    model,
+    variables,
+    loader,
+    logger=None,
+    epoch: int = 0,
+    mode: Optional[str] = None,
+    n_viewpoints: int = 8,
+) -> float:
+    """ShapeNet-55 eval (core/test_55.py / eval_55.py): 8 fixed corner
+    viewpoints × crop difficulty; CD-L2×10³/DCD/F1, overall + mean-class.
+
+    Returns the overall mean CD.
+    """
+    mode = mode or cfg.data.mode
+    n = cfg.data.gt_points
+    num_crop = int(n * CROP_RATIO[mode])
+    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
+    eval_fn = make_55_eval_fn(model, render, num_crop, n_sample=cfg.data.n_points)
+
+    category_metrics: Dict[str, AverageMeter] = {}
+    test_metrics = AverageMeter(METRIC_NAMES)
+    corners = FIXED_CORNERS[:n_viewpoints]
+    for batch in loader:
+        gt = jnp.asarray(batch.data["gtcloud"])
+        B = gt.shape[0]
+        for corner in corners:
+            c = jnp.broadcast_to(jnp.asarray(corner), (B, 3))
+            m = np.asarray(eval_fn(variables, gt, c))
+            for i in range(batch.valid):
+                vals = [float(m[0, i]), float(m[1, i]), float(m[2, i])]
+                tax = batch.taxonomy_ids[i]
+                if tax not in category_metrics:
+                    category_metrics[tax] = AverageMeter(METRIC_NAMES)
+                category_metrics[tax].update(vals)
+                test_metrics.update(vals)
+
+    _print_category_table(category_metrics, test_metrics, mean_class=True)
+    if logger is not None:
+        for i, name in enumerate(METRIC_NAMES):
+            logger.add_scalar(f"Test/{name}", test_metrics.avg(i), epoch)
+    return test_metrics.avg(0)
+
+
+def _print_category_table(
+    category_metrics: Dict[str, AverageMeter],
+    test_metrics: AverageMeter,
+    mean_class: bool = False,
+) -> None:
+    """Per-category results table (core/test_pcn.py:83-105,
+    core/test_55.py:90-101 incl. the mean-class row)."""
+    header = "Taxonomy\t#Samples\t" + "\t".join(METRIC_NAMES)
+    lines = [header]
+    for tax in sorted(category_metrics):
+        am = category_metrics[tax]
+        row = f"{tax}\t{am.count(0)}\t" + "\t".join(
+            f"{am.avg(i):.4f}" for i in range(len(METRIC_NAMES))
+        )
+        lines.append(row)
+    overall = "Overall\t\t" + "\t".join(
+        f"{test_metrics.avg(i):.4f}" for i in range(len(METRIC_NAMES))
+    )
+    lines.append(overall)
+    if mean_class and category_metrics:
+        k = len(METRIC_NAMES)
+        means = [
+            sum(category_metrics[t].avg(i) for t in category_metrics)
+            / len(category_metrics)
+            for i in range(k)
+        ]
+        lines.append("MeanClass\t\t" + "\t".join(f"{v:.4f}" for v in means))
+    table = "\n".join(lines)
+    logging.info("\n%s", table)
+    print(table)

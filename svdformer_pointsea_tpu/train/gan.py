@@ -1,0 +1,230 @@
+"""Adversarial training for the GeoSpecNet track.
+
+Re-design of core/train_geospec.py:18-189: generator (GeoSpecNet) and
+PointNet discriminator, two optimizers with the same warmup schedule. Per
+batch, faithful to the reference's ordering (:110-130):
+
+1. D step — BCE(D(gt), 1) + BCE(D(stop_grad(P2)), 0), update D.
+2. G step — get_loss_PM(sqrt=True) + GAN_WEIGHT * BCE(D_new(P2), 1),
+   gradients through G only (D params are the *updated* ones, as in torch
+   where d_optim.step() ran first).
+
+Both phases live in one jitted function; XLA shares the common subgraphs.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Optional
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from svdformer_pointsea_tpu.configs import Config
+from svdformer_pointsea_tpu.data import Loader, make_dataset
+from svdformer_pointsea_tpu.losses import get_loss_pm
+from svdformer_pointsea_tpu.nn import PointDiscriminator
+from svdformer_pointsea_tpu.parallel import make_mesh_for_batch, replicated_sharding, shard_batch
+from svdformer_pointsea_tpu.render import PCViews
+from svdformer_pointsea_tpu.train.checkpoint import CheckpointManager, restore_checkpoint
+from svdformer_pointsea_tpu.train.evaluate import eval_pcn
+from svdformer_pointsea_tpu.train.loop import build_model, init_state
+from svdformer_pointsea_tpu.train.state import make_optimizer, reference_lr_schedule, _set_lr
+from svdformer_pointsea_tpu.utils import AverageMeter, SummaryLogger, set_seed
+
+Array = jax.Array
+
+
+class GANTrainState(flax.struct.PyTreeNode):
+    step: Array
+    g_params: Any
+    g_batch_stats: Any
+    g_opt_state: Any
+    d_params: Any
+    d_batch_stats: Any
+    d_opt_state: Any
+
+
+def _bce_logits(logits: Array, target: float) -> Array:
+    """BCEWithLogits against a constant target (train_geospec.py:110-130)."""
+    t = jnp.full_like(logits, target)
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, t))
+
+
+def create_gan_state(cfg: Config, seed: int = 1):
+    """(generator model, discriminator model, optimizers, initial state)."""
+    g_model = build_model(cfg)
+    d_model = PointDiscriminator()
+    g_opt = make_optimizer(weight_decay=cfg.train.weight_decay, betas=cfg.train.betas)
+    d_opt = make_optimizer(weight_decay=cfg.train.weight_decay, betas=cfg.train.betas)
+    g_state = init_state(cfg, g_model, g_opt, seed=seed)
+
+    rng = np.random.RandomState(seed)
+    fake = jnp.asarray(
+        rng.rand(2, cfg.data.gt_points, 3).astype(np.float32) * 0.5
+    )
+    d_vars = jax.jit(functools.partial(d_model.init, train=True))(
+        jax.random.PRNGKey(seed + 1), fake
+    )
+    state = GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_state.params,
+        g_batch_stats=g_state.batch_stats,
+        g_opt_state=g_state.opt_state,
+        d_params=d_vars["params"],
+        d_batch_stats=d_vars.get("batch_stats", {}),
+        d_opt_state=d_opt.init(d_vars["params"]),
+    )
+    return g_model, d_model, g_opt, d_opt, state
+
+
+def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float):
+    """Jitted (state, partial, depth, gt, g_lr, d_lr) -> (state, metrics)."""
+
+    def g_forward(g_params, g_bs, partial, depth):
+        return g_model.apply(
+            {"params": g_params, "batch_stats": g_bs},
+            partial,
+            depth,
+            train=True,
+            mutable=["batch_stats"],
+        )
+
+    def step_fn(state: GANTrainState, partial, depth, gt, g_lr, d_lr):
+        # ---- D phase: real vs stop_grad(fake) --------------------------
+        preds0, _ = g_forward(state.g_params, state.g_batch_stats, partial, depth)
+        p2_fake = jax.lax.stop_gradient(preds0[-1])
+
+        def d_loss_fn(d_params):
+            dvar = {"params": d_params, "batch_stats": state.d_batch_stats}
+            real_logits, mut_r = d_model.apply(
+                dvar, gt, train=True, mutable=["batch_stats"]
+            )
+            dvar = {"params": d_params, "batch_stats": mut_r["batch_stats"]}
+            fake_logits, mut_f = d_model.apply(
+                dvar, p2_fake, train=True, mutable=["batch_stats"]
+            )
+            loss = _bce_logits(real_logits, 1.0) + _bce_logits(fake_logits, 0.0)
+            return loss, mut_f["batch_stats"]
+
+        (d_loss, d_bs), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params
+        )
+        d_opt_state = _set_lr(state.d_opt_state, d_lr)
+        d_updates, d_opt_state = d_opt.update(d_grads, d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- G phase: recon + GAN term against the updated D -----------
+        def g_loss_fn(g_params):
+            preds, mutated = g_forward(g_params, state.g_batch_stats, partial, depth)
+            recon, parts = get_loss_pm(preds, partial, gt, sqrt=True)
+            fake_logits = d_model.apply(
+                {"params": d_params, "batch_stats": d_bs},
+                preds[-1],
+                train=False,
+            )
+            gan = _bce_logits(fake_logits, 1.0)
+            return recon + gan_weight * gan, (parts, recon, gan, mutated["batch_stats"])
+
+        (g_loss, (parts, recon, gan, g_bs)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        g_opt_state = _set_lr(state.g_opt_state, g_lr)
+        g_updates, g_opt_state = g_opt.update(g_grads, g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = GANTrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            g_batch_stats=g_bs,
+            g_opt_state=g_opt_state,
+            d_params=d_params,
+            d_batch_stats=d_bs,
+            d_opt_state=d_opt_state,
+        )
+        metrics = {
+            "g_loss": g_loss,
+            "d_loss": d_loss,
+            "recon": recon,
+            "gan": gan,
+            "cdc": parts[0],
+            "cd1": parts[1],
+            "cd2": parts[2],
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional[int] = None):
+    """Full GAN training run (core/train_geospec.py). Returns (state, best)."""
+    set_seed(cfg.seed)
+    tcfg = cfg.train
+    g_model, d_model, g_opt, d_opt, state = create_gan_state(cfg, seed=cfg.seed)
+
+    mesh = make_mesh_for_batch(tcfg.batch_size)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step_fn = make_gan_train_step(g_model, d_model, g_opt, d_opt, tcfg.gan_weight)
+    lr_fn = reference_lr_schedule(
+        tcfg.learning_rate, tcfg.warmup_steps, tcfg.lr_decay_step, tcfg.gamma
+    )
+    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
+
+    train_ds = make_dataset(cfg, "train", seed=cfg.seed)
+    val_ds = make_dataset(cfg, "val", seed=cfg.seed)
+    train_loader = Loader(
+        train_ds, tcfg.batch_size, shuffle=True, seed=cfg.seed,
+        num_workers=cfg.data.num_workers,
+    )
+    val_loader = Loader(
+        val_ds, tcfg.batch_size, shuffle=False, num_workers=cfg.data.num_workers
+    )
+
+    ckpts = CheckpointManager(cfg.out_path, tcfg.save_freq)
+    start_epoch = 1
+    if cfg.weights:
+        state, saved_epoch, best = restore_checkpoint(cfg.weights, state)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        ckpts.best_metric = best
+        start_epoch = saved_epoch + 1
+
+    n_epochs = min(tcfg.n_epochs, max_epochs or tcfg.n_epochs)
+    global_step = int(state.step)
+    logger = SummaryLogger(os.path.join(cfg.out_path, "logs"))
+
+    for epoch in range(start_epoch, n_epochs + 1):
+        t0 = time.time()
+        losses = AverageMeter(["g_loss", "d_loss"])
+        for batch in train_loader:
+            partial = jnp.asarray(batch.data["partial_cloud"])
+            gt = jnp.asarray(batch.data["gtcloud"])
+            partial, gt = shard_batch((partial, gt), mesh)
+            depth = render.get_img(partial)
+            lr = lr_fn(global_step + 1, epoch - 1)
+            state, metrics = step_fn(state, partial, depth, gt, lr, lr)
+            global_step += 1
+            losses.update([float(metrics["g_loss"]), float(metrics["d_loss"])])
+            logger.add_scalar("Train/g_loss", float(metrics["g_loss"]), global_step)
+            logger.add_scalar("Train/d_loss", float(metrics["d_loss"]), global_step)
+            if max_steps is not None and global_step >= max_steps:
+                break
+
+        logging.info(
+            "Epoch %d/%d t=%.1fs g=%.4f d=%.4f",
+            epoch, n_epochs, time.time() - t0, losses.avg(0), losses.avg(1),
+        )
+        variables = {"params": state.g_params, "batch_stats": state.g_batch_stats}
+        val_cd = eval_pcn(cfg, g_model, variables, val_loader, logger, epoch)
+        ckpts.maybe_save(state, epoch, val_cd)
+        if max_steps is not None and global_step >= max_steps:
+            break
+
+    logger.close()
+    return state, ckpts.best_metric

@@ -1,0 +1,221 @@
+"""Training orchestration for the PCN and ShapeNet-55 tracks.
+
+TPU-native re-design of core/train_pcn.py and core/train_55.py: one jitted
+data-parallel train step over the device mesh (batch-sharded inputs,
+replicated params; XLA inserts the gradient all-reduce), a threaded prefetch
+loader on host, depth rendering and online crop synthesis fused into the
+jitted step, orbax best/periodic checkpoints and JSONL/TB scalar logging.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from svdformer_pointsea_tpu.configs import Config
+from svdformer_pointsea_tpu.data import Loader, crop_random_resampled, make_dataset, random_crop_params
+from svdformer_pointsea_tpu.losses import get_loss, get_loss_pm
+from svdformer_pointsea_tpu.nn import GeoSpecNet, PointSea, SVDFormer
+from svdformer_pointsea_tpu.parallel import make_mesh_for_batch, replicated_sharding, shard_batch
+from svdformer_pointsea_tpu.render import PCViews
+from svdformer_pointsea_tpu.train.checkpoint import CheckpointManager, restore_checkpoint
+from svdformer_pointsea_tpu.train.evaluate import eval_55, eval_pcn
+from svdformer_pointsea_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    reference_lr_schedule,
+)
+from svdformer_pointsea_tpu.utils import AverageMeter, SummaryLogger, count_parameters, set_seed
+
+
+def build_model(cfg: Config):
+    """Model factory from the network config (cfg.network.model)."""
+    net = cfg.network
+    common = dict(
+        step1=net.step1,
+        step2=net.step2,
+        merge_points=net.merge_points,
+        local_points=net.local_points,
+        view_distance=net.view_distance,
+    )
+    if net.model == "svdformer":
+        return SVDFormer(
+            use_pcsa=net.use_pcsa, sdg_decoder=net.decoder == "sdg", **common
+        )
+    if net.model == "geospecnet":
+        return GeoSpecNet(sdg_decoder=net.decoder == "sdg", **common)
+    if net.model == "pointsea":
+        return PointSea(**common)
+    raise ValueError(f"unknown model family: {net.model}")
+
+
+def _sample_batch(cfg: Config, rng: np.random.RandomState):
+    """Tiny random batch matching the track's geometry, for model init."""
+    B = 2
+    partial = rng.rand(B, cfg.data.n_points, 3).astype(np.float32) * 0.5
+    return partial
+
+
+def init_state(cfg: Config, model, optimizer, seed: int = 1):
+    """Initialize TrainState on host (replicated onto the mesh by caller)."""
+    rng = np.random.RandomState(seed)
+    partial = jnp.asarray(_sample_batch(cfg, rng))
+    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
+    depth = render.get_img(partial)
+    key = jax.random.PRNGKey(seed)
+    return create_train_state(model, key, (partial, depth), optimizer)
+
+
+def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional[int] = None):
+    """Full training run (core/train_pcn.py:20-170 / core/train_55.py:49-237).
+
+    ``max_epochs``/``max_steps`` bound the run for smoke tests; production
+    runs leave them None and use cfg.train.n_epochs.
+
+    Returns (state, best_metric).
+    """
+    set_seed(cfg.seed)
+    is_55 = cfg.data.name == "ShapeNet55"
+    tcfg = cfg.train
+
+    train_ds = make_dataset(cfg, "train", seed=cfg.seed)
+    val_ds = make_dataset(cfg, "val" if not is_55 else "test", seed=cfg.seed)
+    # Reference: odd batches are duplicated on the 55 track (train_55.py:148-149);
+    # our fixed-shape Loader pads by repeat, which matches.
+    train_loader = Loader(
+        train_ds,
+        tcfg.batch_size,
+        shuffle=True,
+        seed=cfg.seed,
+        num_workers=cfg.data.num_workers,
+    )
+    val_loader = Loader(
+        val_ds, tcfg.batch_size, shuffle=False, num_workers=cfg.data.num_workers
+    )
+
+    model = build_model(cfg)
+    optimizer = make_optimizer(weight_decay=tcfg.weight_decay, betas=tcfg.betas)
+    state = init_state(cfg, model, optimizer, seed=cfg.seed)
+    logging.info("Parameters: %d", count_parameters(state.params))
+
+    mesh = make_mesh_for_batch(tcfg.batch_size)
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    train_step = make_train_step(
+        model,
+        optimizer,
+        sqrt_loss=tcfg.sqrt_loss,
+        partial_matching=tcfg.partial_matching,
+    )
+    lr_fn = reference_lr_schedule(
+        tcfg.learning_rate, tcfg.warmup_steps, tcfg.lr_decay_step, tcfg.gamma
+    )
+    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
+
+    ckpts = CheckpointManager(cfg.out_path, tcfg.save_freq)
+    start_epoch = 1
+    if cfg.weights:
+        state, saved_epoch, best = restore_checkpoint(cfg.weights, state)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        ckpts.best_metric = best
+        start_epoch = saved_epoch + 1
+        logging.info("Resumed from %s at epoch %d", cfg.weights, saved_epoch)
+
+    crop_rng = np.random.RandomState(cfg.seed)
+    n_epochs = min(tcfg.n_epochs, max_epochs or tcfg.n_epochs)
+    global_step = int(state.step)
+    logger = SummaryLogger(os.path.join(cfg.out_path, "logs"))
+
+    for epoch in range(start_epoch, n_epochs + 1):
+        epoch_t0 = time.time()
+        losses = AverageMeter(["cdc", "cd1", "cd2"])
+        for batch in train_loader:
+            if is_55:
+                gt = jnp.asarray(batch.data["gtcloud"])
+                num_crop, direction = random_crop_params(
+                    crop_rng, gt.shape[0], gt.shape[1]
+                )
+                partial, _ = crop_random_resampled(
+                    gt, jnp.asarray(direction), jnp.asarray(num_crop), cfg.data.n_points
+                )
+            else:
+                partial = jnp.asarray(batch.data["partial_cloud"])
+                gt = jnp.asarray(batch.data["gtcloud"])
+            partial, gt = shard_batch((partial, gt), mesh)
+            depth = render.get_img(partial)
+            lr = lr_fn(global_step + 1, epoch - 1)
+            state, metrics = train_step(state, partial, depth, gt, lr)
+            global_step += 1
+            losses.update(
+                [
+                    float(metrics["cdc"]) * 1e3,
+                    float(metrics["cd1"]) * 1e3,
+                    float(metrics["cd2"]) * 1e3,
+                ]
+            )
+            logger.add_scalar("Train/loss", float(metrics["loss"]), global_step)
+            logger.add_scalar("Train/lr", lr, global_step)
+            if max_steps is not None and global_step >= max_steps:
+                break
+
+        logging.info(
+            "Epoch %d/%d t=%.1fs losses(x1e3)=%s",
+            epoch,
+            n_epochs,
+            time.time() - epoch_t0,
+            [f"{v:.3f}" for v in losses.avg()],
+        )
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if is_55:
+            val_cd = eval_55(cfg, model, variables, val_loader, logger, epoch)
+        else:
+            val_cd = eval_pcn(cfg, model, variables, val_loader, logger, epoch)
+        improved = ckpts.maybe_save(state, epoch, val_cd)
+        logging.info(
+            "Epoch %d val CD=%.4f best=%.4f%s",
+            epoch,
+            val_cd,
+            ckpts.best_metric,
+            " *" if improved else "",
+        )
+        if max_steps is not None and global_step >= max_steps:
+            break
+
+    logger.close()
+    return state, ckpts.best_metric
+
+
+def test_net(cfg: Config, mode: Optional[str] = None) -> float:
+    """Standalone evaluation (core/test_pcn.py / core/test_55.py)."""
+    set_seed(cfg.seed)
+    is_55 = cfg.data.name == "ShapeNet55"
+    model = build_model(cfg)
+    optimizer = make_optimizer(weight_decay=cfg.train.weight_decay)
+    state = init_state(cfg, model, optimizer, seed=cfg.seed)
+    if cfg.weights and cfg.weights.endswith((".pth", ".pt")):
+        # Reference torch checkpoint: translate in place (train/convert.py).
+        from svdformer_pointsea_tpu.train.convert import load_torch_checkpoint
+
+        params, batch_stats = load_torch_checkpoint(cfg.weights)
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, params),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, batch_stats),
+        )
+    elif cfg.weights:
+        state, _, _ = restore_checkpoint(cfg.weights, state)
+    ds = make_dataset(cfg, "test", seed=cfg.seed)
+    loader = Loader(ds, cfg.train.batch_size, shuffle=False, num_workers=cfg.data.num_workers)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if is_55:
+        return eval_55(cfg, model, variables, loader, mode=mode)
+    return eval_pcn(cfg, model, variables, loader)

@@ -77,7 +77,11 @@ def create_train_state(
     sample_inputs: Sequence[Array],
     optimizer: optax.GradientTransformation,
 ) -> TrainState:
-    variables = model.init(rng, *sample_inputs, train=True)
+    # One compiled init: eager flax init dispatches hundreds of tiny ops,
+    # which is pathological on tunneled/remote-compile backends.
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        rng, *sample_inputs
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

@@ -1,0 +1,219 @@
+"""End-to-end orchestration tests (SURVEY §4e): micro-train on a synthetic
+on-disk dataset, eval tables, checkpoint best/periodic policy + resume, and
+the GAN trainer — all at tiny geometry on the CPU backend."""
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svdformer_pointsea_tpu.configs import geospec_config, pcn_config, shapenet55_config
+from svdformer_pointsea_tpu.data import write_pcd
+from svdformer_pointsea_tpu.train import (
+    CheckpointManager,
+    build_model,
+    init_state,
+    make_optimizer,
+    restore_checkpoint,
+    save_checkpoint,
+    train_net,
+)
+from svdformer_pointsea_tpu.utils import AverageMeter
+
+
+TINY_NET = dict(step1=2, step2=2, merge_points=32, local_points=32)
+
+
+def _tiny_pcn_config(tmp_path, rng, n_models=3, gt_points=512, n_points=256):
+    """Write a minimal PCN-format dataset tree and return a matching config."""
+    root = tmp_path / "pcn"
+    ids = [f"m{i}" for i in range(n_models)]
+    cats = [
+        {
+            "taxonomy_id": "02691156",
+            "taxonomy_name": "plane",
+            "train": ids,
+            "val": ids[:1],
+            "test": ids[:2],
+        }
+    ]
+    index = tmp_path / "ShapeNet.json"
+    index.write_text(json.dumps(cats))
+    for subset, subset_ids in (("train", ids), ("val", ids[:1]), ("test", ids[:2])):
+        for mid in subset_ids:
+            cdir = root / subset / "complete" / "02691156"
+            cdir.mkdir(parents=True, exist_ok=True)
+            write_pcd(
+                str(cdir / f"{mid}.pcd"), rng.rand(gt_points, 3).astype(np.float32)
+            )
+            pdir = root / subset / "partial" / "02691156" / mid
+            pdir.mkdir(parents=True, exist_ok=True)
+            write_pcd(str(pdir / "00.pcd"), rng.rand(150, 3).astype(np.float32))
+
+    cfg = pcn_config()
+    return cfg.replace(
+        network=dataclasses.replace(cfg.network, **TINY_NET, n_input_points=n_points),
+        data=dataclasses.replace(
+            cfg.data,
+            category_file=str(index),
+            n_renderings=1,
+            n_points=n_points,
+            gt_points=gt_points,
+            num_workers=2,
+            partial_points_path=str(root) + "/%s/partial/%s/%s/%02d.pcd",
+            complete_points_path=str(root) + "/%s/complete/%s/%s.pcd",
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, n_epochs=1, save_freq=1, warmup_steps=2
+        ),
+        out_path=str(tmp_path / "out"),
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    state = {
+        "w": jnp.asarray(rng.rand(4, 3), jnp.float32),
+        "nested": {"b": jnp.arange(5, dtype=jnp.int32)},
+    }
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, epoch=7, best_metric=0.25)
+    restored, epoch, best = restore_checkpoint(path, state)
+    assert epoch == 7 and best == 0.25
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.asarray(state["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored["nested"]["b"]), np.asarray(state["nested"]["b"])
+    )
+
+
+def test_checkpoint_manager_policy(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "run"), save_freq=2)
+    state = {"w": jnp.zeros((2,))}
+    assert mgr.maybe_save(state, epoch=1, val_metric=1.0)  # best, not periodic
+    assert not mgr.maybe_save(state, epoch=2, val_metric=2.0)  # periodic only
+    assert mgr.maybe_save(state, epoch=3, val_metric=0.5)  # best again
+    names = sorted(os.listdir(mgr.dir))
+    assert names == ["ckpt-best", "ckpt-epoch-002"]
+    _, epoch, best = restore_checkpoint(os.path.join(mgr.dir, "ckpt-best"), state)
+    assert epoch == 3 and best == 0.5
+
+
+def test_micro_train_pcn_end_to_end(tmp_path, rng):
+    """Full train_net: data from disk -> render -> step -> eval -> ckpt."""
+    cfg = _tiny_pcn_config(tmp_path, rng)
+    state, best = train_net(cfg, max_epochs=1)
+    assert np.isfinite(best)
+    assert int(state.step) == 2  # 3 samples, batch 2, pad -> 2 steps
+    ckpt_dir = os.path.join(cfg.out_path, "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "ckpt-best"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "ckpt-epoch-001"))
+    # Scalars stream written.
+    logs = os.path.join(cfg.out_path, "logs", "scalars.jsonl")
+    tags = {json.loads(l)["tag"] for l in open(logs)}
+    assert {"Train/loss", "Train/lr", "Test/cd"} <= tags
+
+    # ---- resume: epoch counter and best metric restored ----
+    cfg2 = cfg.replace(
+        weights=os.path.join(ckpt_dir, "ckpt-best"),
+        train=dataclasses.replace(cfg.train, n_epochs=2),
+    )
+    state2, best2 = train_net(cfg2, max_epochs=2)
+    assert int(state2.step) == 4  # resumed from step 2, one more epoch
+    assert best2 <= best + 1e-9
+
+
+def test_micro_train_55_end_to_end(tmp_path, rng):
+    """ShapeNet-55 track: npy data, online crops, partial-matching loss,
+    8-viewpoint eval (trimmed to 1 viewpoint via monkeypatched corners)."""
+    gt_points, n_points = 512, 128
+    pc_dir = tmp_path / "shapenet_pc"
+    pc_dir.mkdir()
+    idx_dir = tmp_path / "ShapeNet55"
+    idx_dir.mkdir()
+    names = []
+    for i in range(2):
+        name = f"0269115{i}-model{i}.npy"
+        np.save(pc_dir / name, rng.rand(gt_points, 3).astype(np.float32))
+        names.append(name)
+    (idx_dir / "train.txt").write_text("\n".join(names))
+    (idx_dir / "test.txt").write_text(names[0] + "\n")
+
+    cfg = shapenet55_config(mode="easy")
+    cfg = cfg.replace(
+        network=dataclasses.replace(
+            cfg.network, **TINY_NET, n_input_points=n_points, decoder="attn"
+        ),
+        data=dataclasses.replace(
+            cfg.data,
+            category_file=str(idx_dir),
+            complete_points_path=str(pc_dir) + "/%s",
+            gt_points=gt_points,
+            n_points=n_points,
+            num_workers=2,
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, n_epochs=1, save_freq=1, warmup_steps=2
+        ),
+        out_path=str(tmp_path / "out55"),
+    )
+    from svdformer_pointsea_tpu.train import evaluate as ev
+
+    orig = ev.eval_55
+
+    def fast_eval(cfg, model, variables, loader, logger=None, epoch=0, mode=None):
+        return orig(cfg, model, variables, loader, logger, epoch, mode, n_viewpoints=1)
+
+    import svdformer_pointsea_tpu.train.loop as loop_mod
+
+    saved = loop_mod.eval_55
+    loop_mod.eval_55 = fast_eval
+    try:
+        state, best = train_net(cfg, max_epochs=1)
+    finally:
+        loop_mod.eval_55 = saved
+    assert np.isfinite(best)
+    assert int(state.step) == 1  # 2 samples, batch 2
+
+
+def test_gan_micro_step(rng):
+    """One jitted GAN step: D and G both update, losses finite
+    (core/train_geospec.py:110-130 ordering)."""
+    from svdformer_pointsea_tpu.train.gan import create_gan_state, make_gan_train_step
+
+    cfg = geospec_config()
+    cfg = cfg.replace(
+        network=dataclasses.replace(
+            cfg.network, **TINY_NET, n_input_points=256
+        ),
+        data=dataclasses.replace(cfg.data, n_points=256, gt_points=256),
+    )
+    g_model, d_model, g_opt, d_opt, state = create_gan_state(cfg, seed=0)
+    step = make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight=0.05)
+
+    B, N, res = 2, 256, 8
+    partial = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+    depth = jnp.asarray(rng.rand(B, 3, res, res), jnp.float32)
+    gt = jnp.asarray(rng.rand(B, 256, 3), jnp.float32)
+    d_before = jax.tree_util.tree_leaves(state.d_params)[0].copy()
+    g_before = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+    state, metrics = step(state, partial, depth, gt, 1e-4, 1e-4)
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert not np.allclose(d_before, jax.tree_util.tree_leaves(state.d_params)[0])
+    assert not np.allclose(g_before, jax.tree_util.tree_leaves(state.g_params)[0])
+    assert int(state.step) == 1
+
+
+def test_average_meter_multi_item():
+    m = AverageMeter(["a", "b"])
+    m.update([1.0, 10.0])
+    m.update([3.0, 30.0])
+    assert m.avg() == [2.0, 20.0]
+    assert m.val(1) == 30.0
+    assert m.count(0) == 2
+    s = AverageMeter()
+    s.update(5)
+    assert s.avg() == 5.0
