@@ -18,6 +18,7 @@ from svdformer_pointsea_tpu.nn.layers import (
     EdgeConv,
     PCSA,
     SinusoidalPositionalEmbedding,
+    set_flash_attention,
     PointNetSAModuleKNN,
     PointNetSAModule,
     PointNetFPModule,

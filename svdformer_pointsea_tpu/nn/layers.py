@@ -122,11 +122,69 @@ class MultiheadAttention(linen.Module):
             return x.reshape(b, n, h, dh)
 
         q, k, v = split(q), split(k), split(v)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dh)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = _scaled_attention(q, k, v)  # (B, N, h, dh)
         out = out.reshape(out.shape[0], out.shape[1], d)
         return linen.Dense(d, name="out_proj")(out)
+
+
+# Pallas flash attention is used when the shapes tile cleanly; measured on
+# v5e at (B32, h8, 2048 tok): naive f32 18.8 ms -> flash bf16 5.2-5.8 ms
+# (tools/tpu_microbench.py). Inputs are cast to bf16 (flash accumulates max/
+# sum/out in f32); max deviation vs the f32 naive path ~2e-3 on O(1) values.
+_FLASH_MIN_Q = 512
+_FLASH_BLOCK = 512
+_FLASH_HEAD_DIMS = (64, 128, 256)
+_FLASH_ENABLED = True
+
+
+def set_flash_attention(enabled: bool) -> None:
+    """Trace-time switch for the Pallas flash-attention fast path
+    (parity debugging: the naive path is bit-faithful to the reference)."""
+    global _FLASH_ENABLED
+    _FLASH_ENABLED = enabled
+
+
+def _flash_eligible(q, k) -> bool:
+    if not _FLASH_ENABLED or jax.default_backend() != "tpu":
+        return False
+    qn, kn, dh = q.shape[1], k.shape[1], q.shape[-1]
+    return (
+        qn >= _FLASH_MIN_Q
+        and qn % _FLASH_BLOCK == 0
+        and kn % _FLASH_BLOCK == 0
+        and dh in _FLASH_HEAD_DIMS
+    )
+
+
+def _scaled_attention(q: Array, k: Array, v: Array) -> Array:
+    """softmax(q kᵀ / sqrt(dh)) v over (B, N, h, dh) tensors."""
+    dh = q.shape[-1]
+    if _flash_eligible(q, k):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention,
+        )
+
+        dtype = q.dtype
+        bq, bk, bv = (jnp.swapaxes(t.astype(jnp.bfloat16), 1, 2) for t in (q, k, v))
+        bs = BlockSizes(
+            block_q=min(_FLASH_BLOCK, bq.shape[2]),
+            block_k_major=min(_FLASH_BLOCK, bk.shape[2]),
+            block_k=min(_FLASH_BLOCK, bk.shape[2]),
+            block_b=1,
+            block_q_major_dkv=min(_FLASH_BLOCK, bq.shape[2]),
+            block_k_major_dkv=min(_FLASH_BLOCK, bk.shape[2]),
+            block_k_dkv=min(_FLASH_BLOCK, bk.shape[2]),
+            block_q_dkv=min(_FLASH_BLOCK, bq.shape[2]),
+            block_k_major_dq=min(_FLASH_BLOCK, bk.shape[2]),
+            block_k_dq=min(_FLASH_BLOCK, bk.shape[2]),
+            block_q_dq=min(_FLASH_BLOCK, bq.shape[2]),
+        )
+        out = flash_attention(bq, bk, bv, sm_scale=1.0 / np.sqrt(dh), block_sizes=bs)
+        return jnp.swapaxes(out, 1, 2).astype(dtype)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dh)
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
 
 class SelfAttentionBlock(linen.Module):

@@ -9,6 +9,7 @@ reference CUDA ops, including their quirks (see each docstring).
 from svdformer_pointsea_tpu.ops.distances import (
     square_distance,
     query_knn,
+    set_knn_mode,
     nearest_distances,
     chamfer_distance,
     chamfer_distance_ref,
@@ -36,6 +37,7 @@ from svdformer_pointsea_tpu.ops.emd import earth_mover_distance
 __all__ = [
     "square_distance",
     "query_knn",
+    "set_knn_mode",
     "nearest_distances",
     "chamfer_distance",
     "chamfer_distance_ref",
