@@ -30,7 +30,7 @@ from svdformer_pointsea_tpu.nn.svdformer import (
     torch_channel_reshape,
 )
 from svdformer_pointsea_tpu.ops import furthest_point_sample, gather_points
-from svdformer_pointsea_tpu.ops.distances import _nn_one_way
+from svdformer_pointsea_tpu.ops.distances import nn_squared_distance
 
 Array = jax.Array
 
@@ -68,10 +68,9 @@ class PointSeaSDG(linen.Module):
         g = linen.Dense(ch, name="conv_1")(jax.nn.gelu(g, approximate=False))
         F = jnp.concatenate([F, jnp.broadcast_to(g, (B, N, ch))], axis=-1)
 
-        half_cd, _ = _nn_one_way(
-            jax.lax.stop_gradient(coarse), jax.lax.stop_gradient(partial)
-        )
-        half_cd = half_cd / self.sigma
+        # Differentiable, as in models_PointSea/PointSea.py's SDG (the
+        # reference does not detach the distance).
+        half_cd = nn_squared_distance(coarse, partial) / self.sigma
         emb = SinusoidalPositionalEmbedding(hidden, name="embedding")(half_cd)
         pos = jnp.swapaxes(emb.reshape(B, hidden, N), 1, 2)
 

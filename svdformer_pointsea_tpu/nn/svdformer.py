@@ -32,7 +32,7 @@ from svdformer_pointsea_tpu.nn.layers import (
 )
 from svdformer_pointsea_tpu.nn.resnet import ImageTrunk
 from svdformer_pointsea_tpu.ops import furthest_point_sample, gather_points
-from svdformer_pointsea_tpu.ops.distances import _nn_one_way
+from svdformer_pointsea_tpu.ops.distances import nn_squared_distance
 
 Array = jax.Array
 
@@ -168,10 +168,10 @@ class SDG(linen.Module):
         F = jnp.concatenate([F, jnp.broadcast_to(g, (B, N, ch))], axis=-1)
 
         # Structure analysis: squared NN distance to the partial input, scaled
-        # by sigma, sinusoidally embedded. Forward-only (embedding detached).
-        half_cd, _ = _nn_one_way(jax.lax.stop_gradient(coarse),
-                                 jax.lax.stop_gradient(partial))
-        half_cd = half_cd / self.sigma
+        # by sigma, sinusoidally embedded. Differentiable — the reference's
+        # chamfer_3DDist backward feeds gradients into coarse/partial here
+        # (models/SVDFormer.py:75).
+        half_cd = nn_squared_distance(coarse, partial) / self.sigma
         emb = SinusoidalPositionalEmbedding(hidden, name="embedding")(half_cd)
         # Reference reinterprets (B, N, hidden) memory as (B, hidden, N) then
         # permutes to seq-first (models/SVDFormer.py:77) — same bytes, our
