@@ -28,10 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 # Tile sizes bound the live VMEM temporaries ((tn, tm) f32 distance tile,
-# iota, masks): 256x1024 keeps the kernel ~4 MB, safely under the 16 MB
+# iota, masks): 256x2048 keeps the kernel ~8 MB, safely under the 16 MB
 # scoped limit even inside fused callers.
 _TN = 256  # query rows per inner step
-_TM = 1024  # target columns per VMEM tile
+_TM = 2048  # target columns per VMEM tile
 _PAD_DIST = 1e30
 
 
@@ -51,6 +51,8 @@ def _nn_kernel(at_ref, bt_ref, dmin_ref, idx_ref, *, m: int, tn: int, tm: int):
     n_qtiles = npad // tn
     n_ktiles = mpad // tm
 
+    base_ids = lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
+
     def q_tile(i, _):
         a = jnp.transpose(at_ref[0, :, pl.ds(i * tn, tn)])  # (tn, 3)
 
@@ -64,7 +66,7 @@ def _nn_kernel(at_ref, bt_ref, dmin_ref, idx_ref, *, m: int, tn: int, tm: int):
             dy = a[:, 1:2] - bt[1:2, :]
             dz = a[:, 2:3] - bt[2:3, :]
             d = dx * dx + dy * dy + dz * dz
-            ids = lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + j * tm
+            ids = base_ids + j * tm
             d = jnp.where(ids < m, d, _PAD_DIST)
             tile_min = jnp.min(d, axis=1, keepdims=True)  # (tn, 1)
             tile_arg = jnp.min(

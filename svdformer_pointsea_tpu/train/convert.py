@@ -48,7 +48,56 @@ from typing import Dict, Iterable, Tuple
 
 import numpy as np
 
-__all__ = ["convert_state_dict", "load_torch_checkpoint"]
+__all__ = [
+    "convert_state_dict",
+    "load_torch_checkpoint",
+    "convert_torchvision_resnet18",
+]
+
+
+def convert_torchvision_resnet18(sd: Dict[str, np.ndarray]):
+    """torchvision resnet18 state dict -> (params, batch_stats) for
+    nn.resnet.ResNet18 (PointSea's pretrained image trunk,
+    models_PointSea/PointSea.py:37-61). The classifier fc.* is dropped.
+    """
+    params: Dict = {}
+    batch_stats: Dict = {}
+    for key, value in sd.items():
+        if key.startswith("fc."):
+            continue
+        parts = key.split(".")
+        # layerL.b.<leaf...> -> layerL/blockb/<leaf...>; downsample.{0,1}
+        path = []
+        i = 0
+        while i < len(parts) - 1:
+            p = parts[i]
+            if p.startswith("layer") and parts[i + 1].isdigit():
+                path.extend([p, f"block{parts[i + 1]}"])
+                i += 2
+                continue
+            if p == "downsample":
+                path.append("down_conv" if parts[i + 1] == "0" else "down_bn")
+                i += 2
+                continue
+            path.append(p)
+            i += 1
+        leaf = parts[-1]
+        arr = np.asarray(value)
+        if leaf == "num_batches_tracked":
+            continue
+        if leaf in ("running_mean", "running_var"):
+            _insert(
+                batch_stats,
+                tuple(path + ["mean" if leaf == "running_mean" else "var"]),
+                arr,
+            )
+        elif leaf == "weight" and arr.ndim == 4:  # conv
+            _insert(params, tuple(path + ["kernel"]), arr.transpose(2, 3, 1, 0))
+        elif leaf == "weight":  # batchnorm affine
+            _insert(params, tuple(path + ["scale"]), arr)
+        else:
+            _insert(params, tuple(path + ["bias"]), arr)
+    return params, batch_stats
 
 
 def load_torch_checkpoint(path: str):
