@@ -105,17 +105,24 @@ def _auction_iteration(state, x1, x2, eps, chunk):
     # Price update for contested objects.
     new_price = jnp.where(has_winner, price + jnp.maximum(max_incr, 0.0), price)
 
-    # Evict previous owners of reassigned objects.
-    prev_owner = jnp.where(has_winner, assignment_inv, -1)  # (B, m)
-    evict_mask = prev_owner >= 0
-    assignment = assignment.at[bidx, jnp.where(evict_mask, prev_owner, 0)].set(
-        jnp.where(evict_mask, -1, assignment[bidx, jnp.where(evict_mask, prev_owner, 0)])
-    )
-    # Assign winners.
+    # Evict previous owners of reassigned objects. Two correctness traps:
+    # (a) masked entries are routed to an out-of-bounds row and dropped — a
+    #     read-modify-write at a dummy index collides with genuine writes
+    #     (duplicate-index .set is unordered) and silently undoes evictions;
+    # (b) assignment_inv is not cleared on eviction, so it can point at a
+    #     bidder who has since won a different object — evict only if the
+    #     bidder still owns *this* object.
     obj_ids = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (B, m))
-    assignment = assignment.at[bidx, winner_safe].set(
-        jnp.where(has_winner, obj_ids, assignment[bidx, winner_safe])
+    prev_owner = jnp.where(has_winner, assignment_inv, -1)  # (B, m)
+    still_owns = (
+        jnp.take_along_axis(assignment, jnp.maximum(prev_owner, 0), axis=1)
+        == obj_ids
     )
+    evict_rows = jnp.where((prev_owner >= 0) & still_owns, prev_owner, n)
+    assignment = assignment.at[bidx, evict_rows].set(-1, mode="drop")
+    # Assign winners (same dropped-write pattern).
+    win_rows = jnp.where(has_winner, winner, n)
+    assignment = assignment.at[bidx, win_rows].set(obj_ids, mode="drop")
     assignment_inv = jnp.where(has_winner, winner, assignment_inv)
 
     n_unassigned = jnp.sum((assignment < 0).astype(jnp.int32))

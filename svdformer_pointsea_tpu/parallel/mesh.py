@@ -61,3 +61,17 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def shard_host_local_batch(batch: Any, mesh: Mesh) -> Any:
+    """Multi-host variant of :func:`shard_batch`.
+
+    Each process passes only its local shard of the global batch;
+    ``jax.make_array_from_process_local_data`` assembles the global array
+    over the (possibly DCN-spanning) data axis. On a single host this is
+    identical to ``shard_batch``.
+    """
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )

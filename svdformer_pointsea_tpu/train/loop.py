@@ -135,10 +135,22 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
     global_step = int(state.step)
     logger = SummaryLogger(os.path.join(cfg.out_path, "logs"))
 
+    # Wall-clock accounting + optional jax.profiler traces per step
+    # (reference: core/train_pcn.py:88-89,102,127; SURVEY §5 tracing).
+    from svdformer_pointsea_tpu.utils.logging import StepTimer
+
+    trace_dir = os.environ.get("SVDFORMER_TPU_TRACE")
+    timer = StepTimer(
+        trace_dir=trace_dir, trace_steps=(5,) if trace_dir else ()
+    )
+
     for epoch in range(start_epoch, n_epochs + 1):
         epoch_t0 = time.time()
         losses = AverageMeter(["cdc", "cd1", "cd2"])
+        data_time = AverageMeter()
+        batch_time = AverageMeter()
         for batch in train_loader:
+            timer.mark_data()
             if is_55:
                 gt = jnp.asarray(batch.data["gtcloud"])
                 num_crop, direction = random_crop_params(
@@ -164,14 +176,19 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
             )
             logger.add_scalar("Train/loss", float(metrics["loss"]), global_step)
             logger.add_scalar("Train/lr", lr, global_step)
+            timer.mark_batch(global_step)
+            data_time.update(timer.data_time)
+            batch_time.update(timer.batch_time)
             if max_steps is not None and global_step >= max_steps:
                 break
 
         logging.info(
-            "Epoch %d/%d t=%.1fs losses(x1e3)=%s",
+            "Epoch %d/%d t=%.1fs data=%.3fs/it batch=%.3fs/it losses(x1e3)=%s",
             epoch,
             n_epochs,
             time.time() - epoch_t0,
+            data_time.avg(),
+            batch_time.avg(),
             [f"{v:.3f}" for v in losses.avg()],
         )
 
