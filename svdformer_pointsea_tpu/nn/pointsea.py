@@ -83,7 +83,13 @@ class PointSeaSDG(linen.Module):
         F_H = CrossAttentionBlock(hidden, hidden, nhead=8, name="cross1")(F_Q, lf)
         F_H_ = PointSeaSDGDecoder(hidden, name="decoder2")(F_H)
 
-        # Path selection gate.
+        # Path selection gate. The barrier is load-bearing: fusing the
+        # attention/decoder producers into the gate's broadcast+concat
+        # consumer SIGABRTs the TPU compiler (bisected empirically; the gate
+        # alone and the producers alone compile fine). Semantically a no-op.
+        F_Q_, F_H_, f_g_current = jax.lax.optimization_barrier(
+            (F_Q_, F_H_, f_g_current)
+        )
         gate_in = [
             F_Q_ + F_H_,
             jnp.broadcast_to(f_g_current, (B, N, hidden)),

@@ -129,7 +129,8 @@ class PCViewsReal:
     """Three realistic self-views with per-view bias rotations.
 
     Matches models_PointSea/mv_utils_zs.py:136-195. ``get_img`` returns
-    (B*3, 3, H, W) ready for the ImageNet-pretrained ResNet18 encoder.
+    channels-last (B*3, H, W, 3) ready for the ResNet18 trunk
+    (nn/resnet.py), batch-major view-minor.
     """
 
     _VIEWS = np.asarray(
@@ -173,7 +174,7 @@ class PCViewsReal:
         )
 
     def get_img(self, points: Array) -> Array:
-        """points (B, P, 3) -> images (B*3, 3, H, W), batch-major view-minor."""
+        """points (B, P, 3) -> images (B*3, H, W, 3), batch-major view-minor."""
         return self._get_img(points)
 
 
@@ -185,4 +186,7 @@ def _real_render(points, *, rot, rot_bias, translation, kernel):
     proj = proj - translation[None]
     flat = proj.reshape(B * V, -1, 3)
     grid = points2grid(flat, PARAMS["resolution"], PARAMS["depth"])
-    return _grid2image(grid, kernel)
+    img = _grid2image(grid, kernel)  # (B*V, 3, H, W)
+    # Channels-last, the framework-wide convention (PointSea's ResNet18
+    # trunk consumes (B*V, H, W, 3)).
+    return jnp.transpose(img, (0, 2, 3, 1))

@@ -71,7 +71,7 @@ def test_pcviews_real_shapes(rng):
     render = PCViewsReal(trans=-0.7)
     pts = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32) - 0.5)
     img = np.asarray(render.get_img(pts))
-    assert img.shape == (6, 3, 224, 224)  # (B*V, 3, H, W)
+    assert img.shape == (6, 224, 224, 3)  # (B*V, H, W, 3) channels-last
     assert np.all(np.isfinite(img))
     assert img.min() >= -1e-5 and img.max() <= 1 + 1e-5
     # Inverted depth: background is 1, object darker.
