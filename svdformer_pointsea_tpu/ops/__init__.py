@@ -11,6 +11,7 @@ from svdformer_pointsea_tpu.ops.distances import (
     query_knn,
     set_knn_mode,
     nearest_distances,
+    nn_squared_distance,
     chamfer_distance,
     chamfer_distance_ref,
     three_nn,
@@ -39,6 +40,7 @@ __all__ = [
     "query_knn",
     "set_knn_mode",
     "nearest_distances",
+    "nn_squared_distance",
     "chamfer_distance",
     "chamfer_distance_ref",
     "three_nn",

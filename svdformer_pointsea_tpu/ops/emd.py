@@ -100,7 +100,6 @@ def _auction_iteration(state, x1, x2, eps, chunk):
         .min(jnp.where(is_best, i_ids, n))
     )
     has_winner = winner < n  # (B, m)
-    winner_safe = jnp.where(has_winner, winner, 0)
 
     # Price update for contested objects.
     new_price = jnp.where(has_winner, price + jnp.maximum(max_incr, 0.0), price)

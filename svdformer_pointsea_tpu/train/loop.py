@@ -17,11 +17,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
-
 from svdformer_pointsea_tpu.configs import Config
 from svdformer_pointsea_tpu.data import Loader, crop_random_resampled, make_dataset, random_crop_params
-from svdformer_pointsea_tpu.losses import get_loss, get_loss_pm
 from svdformer_pointsea_tpu.nn import GeoSpecNet, PointSea, SVDFormer
 from svdformer_pointsea_tpu.parallel import make_mesh_for_batch, replicated_sharding, shard_batch
 from svdformer_pointsea_tpu.render import PCViews
