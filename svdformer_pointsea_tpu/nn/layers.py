@@ -133,7 +133,7 @@ class MultiheadAttention(linen.Module):
 # sum/out in f32); max deviation vs the f32 naive path ~2e-3 on O(1) values.
 _FLASH_MIN_Q = 512
 _FLASH_BLOCK = 512
-_FLASH_HEAD_DIMS = (64, 128, 256)
+_FLASH_HEAD_DIMS = (64, 96, 128, 256)
 _FLASH_ENABLED = True
 
 
