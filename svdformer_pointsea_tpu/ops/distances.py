@@ -127,6 +127,14 @@ def nn_squared_distance(query: Array, target: Array) -> Array:
     return d
 
 
+def _flat_row_gather(points: Array, idx: Array) -> Array:
+    """Gather rows of ``points`` (B, M, C) at ``idx`` (B, K) -> (B, K, C),
+    as a flattened single-axis gather (see ops/grouping.py:index_points)."""
+    B, M, C = points.shape
+    flat = (idx.astype(jnp.int32) + (jnp.arange(B, dtype=jnp.int32) * M)[:, None]).reshape(-1)
+    return points.reshape(B * M, C)[flat].reshape(B, idx.shape[1], C)
+
+
 def _nnsq_fwd(query, target):
     d, idx = _nn_one_way(query, target)
     return d, (query, target, idx)
@@ -134,7 +142,7 @@ def _nnsq_fwd(query, target):
 
 def _nnsq_bwd(res, g):
     query, target, idx = res
-    nearest = jnp.take_along_axis(target, idx[..., None], axis=1)
+    nearest = _flat_row_gather(target, idx)
     diff = 2.0 * g[..., None] * (query - nearest)
     g_target = _batched_scatter_add(target.shape[1], idx, -diff)
     return diff, g_target
@@ -222,9 +230,12 @@ def _chamfer_fwd(xyz1, xyz2):
 
 def _batched_scatter_add(n: int, idx: Array, updates: Array) -> Array:
     """Scatter-add ``updates`` (B, K, 3) into zeros (B, n, 3) at ``idx`` (B, K)."""
-    B = idx.shape[0]
-    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], idx.shape)
-    return jnp.zeros((B, n, 3), updates.dtype).at[bidx, idx].add(updates)
+    B, K = idx.shape
+    # Flattened single-axis scatter (same lowering win as the gathers,
+    # ops/grouping.py:index_points).
+    flat = (idx.astype(jnp.int32) + (jnp.arange(B, dtype=jnp.int32) * n)[:, None]).reshape(-1)
+    out = jnp.zeros((B * n, 3), updates.dtype).at[flat].add(updates.reshape(B * K, 3))
+    return out.reshape(B, n, 3)
 
 
 def _chamfer_bwd(res, g):
@@ -234,8 +245,8 @@ def _chamfer_bwd(res, g):
     xyz2 = xyz2.astype(jnp.float32)
     n, m = xyz1.shape[1], xyz2.shape[1]
     # d1[i] = ||xyz1[i] - xyz2[idx1[i]]||^2
-    diff1 = xyz1 - jnp.take_along_axis(xyz2, idx1[..., None], axis=1)  # (B,N,3)
-    diff2 = xyz2 - jnp.take_along_axis(xyz1, idx2[..., None], axis=1)  # (B,M,3)
+    diff1 = xyz1 - _flat_row_gather(xyz2, idx1)  # (B,N,3)
+    diff2 = xyz2 - _flat_row_gather(xyz1, idx2)  # (B,M,3)
     w1 = 2.0 * g1[..., None] * diff1
     w2 = 2.0 * g2[..., None] * diff2
     grad1 = w1 + _batched_scatter_add(n, idx2, -w2)
@@ -286,7 +297,8 @@ def three_interpolate(points: Array, idx: Array, weight: Array) -> Array:
         (XLA emits the deterministic scatter-add gradient the CUDA version
         does with atomicAdd).
     """
-    B, N, _ = idx.shape
-    bidx = jnp.broadcast_to(jnp.arange(B)[:, None, None], idx.shape)
-    gathered = points[bidx, idx]  # (B, N, 3, C)
+    B, M, C = points.shape
+    # Flattened single-axis gather (see ops/grouping.py:index_points).
+    flat = (idx.astype(jnp.int32) + (jnp.arange(B, dtype=jnp.int32) * M)[:, None, None]).reshape(-1)
+    gathered = points.reshape(B * M, C)[flat].reshape(idx.shape + (C,))  # (B, N, 3, C)
     return jnp.sum(gathered * weight[..., None], axis=2)

@@ -152,7 +152,11 @@ def gather_points(points: Array, idx: Array) -> Array:
         (B, S, C). Differentiable through ``points`` (scatter-add grad, as in
         sampling_gpu.cu:8-57, but deterministic under XLA).
     """
-    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+    # Flattened single-axis gather — 2.5x faster than the batched lowering
+    # on TPU (see ops/grouping.py:index_points).
+    B, N, C = points.shape
+    flat = (idx.astype(jnp.int32) + (jnp.arange(B, dtype=jnp.int32) * N)[:, None]).reshape(-1)
+    return points.reshape(B * N, C)[flat].reshape(idx.shape + (C,))
 
 
 def fps_subsample(pcd: Array, n_points: int = 2048) -> Array:

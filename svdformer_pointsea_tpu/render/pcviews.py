@@ -92,11 +92,23 @@ def _distribute_and_average(
     weight = weight.reshape(B, -1)
     weighted_value = weighted_value.reshape(B, -1)
 
-    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], coords.shape)
     size = image_height * image_width
-    weight_scattered = jnp.zeros((B, size), jnp.float32).at[bidx, coords].add(weight)
+    # Flattened single-axis scatter: the batched (bidx, coords) form lowers
+    # to a much slower per-row scatter (see ops/grouping.py:index_points).
+    flat_coords = (
+        coords + (jnp.arange(B, dtype=jnp.int32) * size)[:, None]
+    ).reshape(-1)
+    weight_scattered = (
+        jnp.zeros((B * size,), jnp.float32)
+        .at[flat_coords]
+        .add(weight.reshape(-1))
+        .reshape(B, size)
+    )
     value_scattered = (
-        jnp.zeros((B, size), jnp.float32).at[bidx, coords].add(weighted_value)
+        jnp.zeros((B * size,), jnp.float32)
+        .at[flat_coords]
+        .add(weighted_value.reshape(-1))
+        .reshape(B, size)
     )
     weight_scattered = jnp.where(weight_scattered == 0.0, 1.0, weight_scattered)
     return (value_scattered / weight_scattered).reshape(B, image_height, image_width)
