@@ -23,7 +23,7 @@ from svdformer_pointsea_tpu.nn.layers import (
     PointNetSAModule,
     PointNetFPModule,
 )
-from svdformer_pointsea_tpu.nn.resnet import ImageTrunk, ResNet18
+from svdformer_pointsea_tpu.nn.resnet import ImageTrunk, ResNet18, set_trunk_bf16
 from svdformer_pointsea_tpu.nn.svdformer import SVDFormer
 from svdformer_pointsea_tpu.nn.geospecnet import GeoSpecNet, PointDiscriminator
 from svdformer_pointsea_tpu.nn.pointsea import PointSea
@@ -42,6 +42,7 @@ __all__ = [
     "PointNetSAModuleKNN",
     "PointNetSAModule",
     "PointNetFPModule",
+    "set_trunk_bf16",
     "ImageTrunk",
     "ResNet18",
     "SVDFormer",

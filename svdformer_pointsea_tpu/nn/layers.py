@@ -128,9 +128,9 @@ class MultiheadAttention(linen.Module):
 
 
 # Pallas flash attention is used when the shapes tile cleanly; measured on
-# v5e at (B32, h8, 2048 tok): naive f32 18.8 ms -> flash bf16 5.2-5.8 ms
-# (tools/tpu_microbench.py). Inputs are cast to bf16 (flash accumulates max/
-# sum/out in f32); max deviation vs the f32 naive path ~2e-3 on O(1) values.
+# v5e at (B32, h8, 2048 tok): naive f32 18.8 ms -> flash 5.2-6.5 ms
+# (tools/tpu_microbench.py). Inputs stay f32 (see the dtype note inside
+# _scaled_attention); deviation vs the naive path is ~f32 round-off.
 _FLASH_MIN_Q = 512
 _FLASH_BLOCK = 512
 _FLASH_HEAD_DIMS = (64, 96, 128, 256)
@@ -166,11 +166,23 @@ def _scaled_attention(q: Array, k: Array, v: Array) -> Array:
         )
 
         dtype = q.dtype
-        bq, bk, bv = (jnp.swapaxes(t.astype(jnp.bfloat16), 1, 2) for t in (q, k, v))
+        # f32 inputs: measured on v5e, f32 flash costs only ~0-25% over bf16
+        # (6.5 vs 5.2 ms at dh=64; 4.04 vs 3.99 at dh=128) while the
+        # end-to-end completion deviation drops ~100x (bf16 inputs shifted a
+        # random-init model's output by CD-L2 ~1.9e-4 — outside the
+        # metric-parity budget).
+        bq, bk, bv = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+        # Tuned on v5e at (B32, h8, 2048 tok): wider k blocks cut the
+        # streaming-softmax bookkeeping ~13% for both dh=64 and dh=128
+        # (bq=1024, bk=2048); bq==bk==2048 crashes the Mosaic compiler.
+        nq = min(1024, bq.shape[2])
+        nk = min(2048, bk.shape[2])
+        if nq == bq.shape[2] and nk == bk.shape[2]:
+            nq = min(nq, _FLASH_BLOCK)
         bs = BlockSizes(
-            block_q=min(_FLASH_BLOCK, bq.shape[2]),
-            block_k_major=min(_FLASH_BLOCK, bk.shape[2]),
-            block_k=min(_FLASH_BLOCK, bk.shape[2]),
+            block_q=nq,
+            block_k_major=nk,
+            block_k=nk,
             block_b=1,
             block_q_major_dkv=min(_FLASH_BLOCK, bq.shape[2]),
             block_k_major_dkv=min(_FLASH_BLOCK, bk.shape[2]),

@@ -17,13 +17,33 @@ Two variants, mirroring the reference's two image encoders:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as linen
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# Optional bf16 compute for the image trunks at eval time (params stay f32;
+# output cast back to f32), worth ~3 ms/it at bs32 on v5e. Default OFF:
+# measured on TPU, bf16 trunk features shift the completion by CD-L2
+# ~2.2e-3 (the global feature conditions every generated coordinate) —
+# far outside the metric-parity budget. Serving deployments that tolerate
+# it can flip set_trunk_bf16(True).
+_TRUNK_BF16 = False
+
+
+def set_trunk_bf16(enabled: bool) -> None:
+    """Trace-time switch for bf16 eval-mode compute in the image trunks."""
+    global _TRUNK_BF16
+    _TRUNK_BF16 = enabled
+
+
+def _trunk_dtype(train: bool):
+    if _TRUNK_BF16 and not train and jax.default_backend() == "tpu":
+        return jnp.bfloat16
+    return None
 
 
 class BasicBlock(linen.Module):
@@ -32,32 +52,36 @@ class BasicBlock(linen.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = None
 
     @linen.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         identity = x
         out = linen.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=1, use_bias=False, name="conv1",
+            padding=1, use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        out = linen.BatchNorm(use_running_average=not train, name="bn1")(out)
+        out = linen.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, name="bn1"
+        )(out)
         out = jax.nn.relu(out)
         out = linen.Conv(
-            self.planes, (3, 3), padding=1, use_bias=False, name="conv2"
+            self.planes, (3, 3), padding=1, use_bias=False,
+            dtype=self.dtype, name="conv2",
         )(out)
         # zero_init_residual: bn2 scale starts at 0 so each block starts as
         # the identity (models/SVDFormer.py:129, resnet.py:170-175).
         out = linen.BatchNorm(
             use_running_average=not train, scale_init=linen.initializers.zeros,
-            name="bn2",
+            dtype=self.dtype, name="bn2",
         )(out)
         if self.downsample:
             identity = linen.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride),
-                use_bias=False, name="down_conv",
+                use_bias=False, dtype=self.dtype, name="down_conv",
             )(x)
             identity = linen.BatchNorm(
-                use_running_average=not train, name="down_bn"
+                use_running_average=not train, dtype=self.dtype, name="down_bn"
             )(identity)
         return jax.nn.relu(out + identity)
 
@@ -67,15 +91,19 @@ class _Layer(linen.Module):
     blocks: int
     stride: int
     in_planes: int
+    dtype: Any = None
 
     @linen.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         need_down = self.stride != 1 or self.in_planes != self.planes
         x = BasicBlock(
-            self.planes, self.stride, downsample=need_down, name="block0"
+            self.planes, self.stride, downsample=need_down,
+            dtype=self.dtype, name="block0",
         )(x, train=train)
         for i in range(1, self.blocks):
-            x = BasicBlock(self.planes, 1, name=f"block{i}")(x, train=train)
+            x = BasicBlock(
+                self.planes, 1, dtype=self.dtype, name=f"block{i}"
+            )(x, train=train)
         return x
 
 
@@ -88,16 +116,22 @@ class ImageTrunk(linen.Module):
     @linen.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         fs = self.feat_size
-        x = linen.Conv(fs, (3, 3), padding=1, use_bias=False, name="stem_conv")(x)
-        x = linen.BatchNorm(use_running_average=not train, name="stem_bn")(x)
+        dtype = _trunk_dtype(train)
+        x = linen.Conv(
+            fs, (3, 3), padding=1, use_bias=False, dtype=dtype, name="stem_conv"
+        )(x)
+        x = linen.BatchNorm(
+            use_running_average=not train, dtype=dtype, name="stem_bn"
+        )(x)
         x = jax.nn.relu(x)
         in_planes = fs
         for i, (mult, stride) in enumerate(zip((1, 2, 4, 8), (1, 2, 2, 2))):
             x = _Layer(
-                fs * mult, self.layers[i], stride, in_planes, name=f"layer{i + 1}"
+                fs * mult, self.layers[i], stride, in_planes,
+                dtype=dtype, name=f"layer{i + 1}",
             )(x, train=train)
             in_planes = fs * mult
-        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1 + squeeze
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # avg pool + squeeze
         return x
 
 
@@ -108,10 +142,12 @@ class ResNet18(linen.Module):
 
     @linen.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        dtype = _trunk_dtype(train)
         x = linen.Conv(
-            64, (7, 7), strides=(2, 2), padding=3, use_bias=False, name="conv1"
+            64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+            dtype=dtype, name="conv1",
         )(x)
-        x = linen.BatchNorm(use_running_average=not train, name="bn1")(x)
+        x = linen.BatchNorm(use_running_average=not train, dtype=dtype, name="bn1")(x)
         x = jax.nn.relu(x)
         x = linen.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         in_planes = 64
@@ -119,7 +155,8 @@ class ResNet18(linen.Module):
             zip((64, 128, 256, 512), (1, 2, 2, 2))
         ):
             x = _Layer(
-                planes, self.layers[i], stride, in_planes, name=f"layer{i + 1}"
+                planes, self.layers[i], stride, in_planes,
+                dtype=dtype, name=f"layer{i + 1}",
             )(x, train=train)
             in_planes = planes
-        return x
+        return x.astype(jnp.float32)

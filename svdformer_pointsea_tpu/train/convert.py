@@ -50,6 +50,7 @@ import numpy as np
 
 __all__ = [
     "convert_state_dict",
+    "convert_discriminator_state_dict",
     "load_torch_checkpoint",
     "convert_torchvision_resnet18",
 ]
@@ -100,6 +101,48 @@ def convert_torchvision_resnet18(sd: Dict[str, np.ndarray]):
     return params, batch_stats
 
 
+def convert_discriminator_state_dict(sd: Dict[str, np.ndarray]):
+    """GeoSpec GAN discriminator state dict -> (params, batch_stats) for
+    nn.PointDiscriminator (models/GeoSpecNet.py:235-257): Sequential
+    ``stem.{0,3,6}`` convs -> ``stem{0..2}``, ``stem.{1,4,7}`` BNs ->
+    ``bn{0..2}``, ``head.{0,2}`` linears -> ``head{0,1}``.
+    """
+    stem_conv = {"0": "stem0", "3": "stem1", "6": "stem2"}
+    stem_bn = {"1": "bn0", "4": "bn1", "7": "bn2"}
+    head = {"0": "head0", "2": "head1"}
+    params: Dict = {}
+    batch_stats: Dict = {}
+    for key, value in sd.items():
+        parts = key.removeprefix("module.").split(".")
+        mod, seq, pname = parts[0], parts[1], parts[2]
+        arr = np.asarray(value)
+        if pname == "num_batches_tracked":
+            continue
+        if mod == "stem" and seq in stem_bn:
+            name = stem_bn[seq]
+            if pname in ("running_mean", "running_var"):
+                _insert(
+                    batch_stats,
+                    (name, "mean" if pname == "running_mean" else "var"),
+                    arr,
+                )
+            else:
+                _insert(params, (name, "scale" if pname == "weight" else "bias"), arr)
+        elif mod == "stem":
+            name = stem_conv[seq]
+            if pname == "weight":
+                _insert(params, (name, "kernel"), arr[:, :, 0].T)
+            else:
+                _insert(params, (name, "bias"), arr)
+        else:
+            name = head[seq]
+            if pname == "weight":
+                _insert(params, (name, "kernel"), arr.T)
+            else:
+                _insert(params, (name, "bias"), arr)
+    return params, batch_stats
+
+
 def load_torch_checkpoint(path: str):
     """Load a reference .pth and return ``(params, batch_stats)`` trees.
 
@@ -136,7 +179,13 @@ _IMG_LAYER = {"3": "layer1", "4": "layer2", "5": "layer3", "6": "layer4"}
 
 
 def _translate_img_trunk(parts):
-    """img_trunk.<idx>... -> flax path inside ImageTrunk."""
+    """img_trunk.<idx>... -> flax path inside ImageTrunk / ResNet18.
+
+    Two torch layouts feed this: SVDFormer's Sequential indices
+    (models/SVDFormer.py:113-147: 0=stem conv, 1=stem bn, 3..6=layers) and
+    PointSea's ResEncoder, which keeps torchvision attribute names
+    (models_PointSea/PointSea.py:37-61: conv1/bn1/layer1..4).
+    """
     idx = parts[0]
     if idx == "0":
         return ["stem_conv"] + parts[1:]
@@ -149,6 +198,15 @@ def _translate_img_trunk(parts):
             sub = "down_conv" if rest[1] == "0" else "down_bn"
             rest = [sub] + rest[2:]
         return [_IMG_LAYER[idx], block] + rest
+    if idx in ("conv1", "bn1"):
+        return list(parts)
+    if idx.startswith("layer") and parts[1].isdigit():
+        block = f"block{parts[1]}"
+        rest = parts[2:]
+        if rest[0] == "downsample":
+            sub = "down_conv" if rest[1] == "0" else "down_bn"
+            rest = [sub] + rest[2:]
+        return [idx, block] + rest
     raise KeyError(f"img_trunk index {idx} has no parameters")
 
 
@@ -170,18 +228,44 @@ def _leaf(parts, torch_key):
             path.append("img_trunk")
             path.extend(_translate_img_trunk(mods[i + 1 :]))  # consumes the rest
             break
-        if m in ("posmlp", "mlpp") and i + 2 <= len(mods) - 1 and mods[i + 1] == "mlp":
+        if m in ("posmlp", "mlpp", "fusionMlp") and i + 2 <= len(mods) - 1 and mods[i + 1] == "mlp":
             # MLP_CONV: mlp.0 -> layer0, mlp.2 -> layer1 (ReLU at odd idx)
             seq = int(mods[i + 2])
             path.extend([m, f"layer{seq // 2}"])
             i += 3
             continue
         if m == "mlp_conv":
-            # SA module MLP: mlp_conv.<i>.conv -> mlp/layer<i>
+            # SA module MLP: mlp_conv.<i>.conv -> mlp/layer<i>. The wrapper
+            # always instantiates self.bn even with if_bn=False
+            # (model_utils.py:27-33), and every SA module in the SVDFormer
+            # family runs with if_bn=False (models/SVDFormer.py:17-19), so
+            # the bn entries are dead weight — drop them.
             seq = mods[i + 1]
+            if mods[i + 2] == "bn":
+                return []
             assert mods[i + 2] == "conv", mods
             path.extend(["mlp", f"layer{seq}"])
             i += 3
+            continue
+        if m == "branches":
+            # MSGSpecConv.branches.<i> -> branch<i> (GeoSpecNet.py:116-119)
+            path.append(f"branch{mods[i + 1]}")
+            i += 2
+            continue
+        if m == "geo_proj" and path and path[-1].startswith("branch"):
+            # SpectralAdapter geometric attention Sequential: conv at 0 and 2
+            path.append({"0": "geo_fc1", "2": "geo_fc2"}[mods[i + 1]])
+            i += 2
+            continue
+        if m == "proj" and path and path[-1].startswith("branch"):
+            # SpectralAdapter channel mixing Sequential (GeoSpecNet.py:57-61)
+            path.append({"0": "proj_fc1", "2": "proj_fc2"}[mods[i + 1]])
+            i += 2
+            continue
+        if m == "fuse" and path and path[-1] == "msg_spec":
+            # MSGSpecConv.fuse Sequential [Conv1d, ReLU] (GeoSpecNet.py:120-123)
+            path.append("fuse")
+            i += 2
             continue
         if m == "freq_mlp":
             seq = int(mods[i + 1])
@@ -205,6 +289,14 @@ def _leaf(parts, torch_key):
         leaf = "mean" if pname == "running_mean" else "var"
         return [(tuple(path + [leaf]), "batch_stats", "direct")]
     if pname == "num_batches_tracked":
+        return []
+    if pname == "freq_gate":
+        # SpectralAdapter's per-(channel, frequency) gates, a bare Parameter
+        # (GeoSpecNet.py:45)
+        return [(tuple(path + ["freq_gate"]), "params", "direct")]
+    if pname == "div_term" and last == "embedding":
+        # SinusoidalPositionalEmbedding registers its frequency table as a
+        # persistent buffer (model_utils.py:883-909); ours recomputes it.
         return []
 
     # --- MultiheadAttention packed projections -------------------------
