@@ -102,6 +102,98 @@ def normalize_object_pose(ptcloud: np.ndarray, bbox: np.ndarray) -> np.ndarray:
     return ptcloud @ np.asarray([[1, 0, 0], [0, 0, 1], [0, 1, 0]], ptcloud.dtype)
 
 
+def random_clip_points(
+    ptcloud: np.ndarray,
+    rng: np.random.RandomState,
+    sigma: float = 0.01,
+    clip: float = 0.05,
+) -> np.ndarray:
+    """Clipped gaussian jitter (utils/data_transforms.py:190-197)."""
+    noise = np.clip(sigma * rng.randn(*ptcloud.shape), -clip, clip)
+    return ptcloud + noise.astype(np.float32)
+
+
+# --- image transforms (utils/data_transforms.py:58-150) -------------------
+# Capability parity for the reference's 2D-image pipelines (unused by the
+# three shipped tracks, which consume point clouds only). Resizes are
+# bilinear in pure numpy (the reference relies on cv2.resize's default).
+
+
+def normalize_image(img: np.ndarray, mean, std) -> np.ndarray:
+    """(img / std) - mean, matching the reference's (unusual) operation
+    order (utils/data_transforms.py:58-68)."""
+    img = img.astype(np.float32)
+    return img / std - mean
+
+
+def _bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    img = img.astype(np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _crop_resize(
+    img: np.ndarray, crop_h: int, crop_w: int, out_h: int, out_w: int, frac: float
+) -> np.ndarray:
+    img_w, img_h = img.shape[0], img.shape[1]  # reference's (w, h) naming
+    x_left = int((img_w - crop_w) * frac)
+    y_top = int((img_h - crop_h) * frac)
+    patch = img[y_top : y_top + crop_h, x_left : x_left + crop_w]
+    out = _bilinear_resize(patch, out_h, out_w)
+    return out[..., None] if out.ndim == 2 else out
+
+
+def center_crop(img, img_size, crop_size) -> np.ndarray:
+    """Centered crop + resize (utils/data_transforms.py:71-89)."""
+    return _crop_resize(img, crop_size[0], crop_size[1], img_size[0], img_size[1], 0.5)
+
+
+def random_crop(img, img_size, crop_size, rnd_value: float) -> np.ndarray:
+    """Shared-draw random crop + resize (utils/data_transforms.py:92-110)."""
+    return _crop_resize(
+        img, crop_size[0], crop_size[1], img_size[0], img_size[1], rnd_value
+    )
+
+
+def random_flip(img: np.ndarray, rnd_value: float) -> np.ndarray:
+    """Horizontal flip at p=0.5 (utils/data_transforms.py:113-121)."""
+    return np.fliplr(img) if rnd_value > 0.5 else img
+
+
+def random_permute_rgb(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """Random channel permutation (utils/data_transforms.py:124-130)."""
+    return img[..., rng.permutation(3)]
+
+
+def random_background(
+    img: np.ndarray, bg_color_range, rng: np.random.RandomState
+) -> np.ndarray:
+    """Composite RGBA onto a random solid background
+    (utils/data_transforms.py:133-150)."""
+    if img.shape[2] != 4:
+        return img
+    rgb = [
+        rng.randint(bg_color_range[i][0], bg_color_range[i][1] + 1)
+        for i in range(3)
+    ]
+    alpha = (img[:, :, 3:4] == 0).astype(np.float32)
+    return alpha * (np.asarray([[rgb]], np.float32) / 255.0) + (1 - alpha) * img[:, :, :3]
+
+
 class Compose:
     """Pipeline of {callback, objects} steps over a sample dict, with one
     shared random draw per step (utils/data_transforms.py:14-42 semantics)."""
@@ -129,6 +221,31 @@ class Compose:
                     data[k] = random_rotate_points(data[k], rnd_value)
                 elif cb == "ScalePoints":
                     data[k] = scale_points(data[k], self.rng)
+                elif cb == "RandomClipPoints":
+                    data[k] = random_clip_points(
+                        data[k],
+                        self.rng,
+                        sigma=params.get("sigma", 0.01),
+                        clip=params.get("clip", 0.05),
+                    )
+                elif cb == "NormalizeObjectPose":
+                    data[k] = normalize_object_pose(
+                        data[k], data[params["bbox_key"]]
+                    )
+                elif cb == "Normalize":
+                    data[k] = normalize_image(data[k], params["mean"], params["std"])
+                elif cb == "CenterCrop":
+                    data[k] = center_crop(data[k], params["img_size"], params["crop_size"])
+                elif cb == "RandomCrop":
+                    data[k] = random_crop(
+                        data[k], params["img_size"], params["crop_size"], rnd_value
+                    )
+                elif cb == "RandomFlip":
+                    data[k] = random_flip(data[k], rnd_value)
+                elif cb == "RandomPermuteRGB":
+                    data[k] = random_permute_rgb(data[k], self.rng)
+                elif cb == "RandomBackground":
+                    data[k] = random_background(data[k], params["bg_color"], self.rng)
                 elif cb == "ToArray":
                     data[k] = np.ascontiguousarray(data[k], np.float32)
                 else:

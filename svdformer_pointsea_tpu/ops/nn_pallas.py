@@ -12,6 +12,13 @@ Grid is (B,); per program the query set lives in VMEM and is swept in
 (TN, TM) tiles: d = |a|^2 - 2 a.b + |b|^2 via the MXU, running
 first-occurrence argmin in registers (ties resolve to the lowest index,
 matching the CUDA scan order).
+
+Negative result (measured 2026-08, chained-fori device timing on v5e): a
+fused bidirectional kernel that reduces each tile along BOTH axes is
+0.67-0.85x the speed of two one-way passes at loss shapes. The column
+direction reduces across sublanes (slow on the VPU) while each one-way
+pass reduces along lanes; recomputing the dx/dy/dz FMAs is cheaper than
+the cross-sublane min+argmin. Keep chamfer as two one-way calls.
 """
 
 from __future__ import annotations

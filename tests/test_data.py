@@ -216,3 +216,67 @@ def test_pcn_dataset_and_loader(tmp_path, rng):
     ds_test = make_dataset(cfg, "test")
     tax, mid, data = ds_test[0]
     assert data["partial_cloud"].shape == (2048, 3)
+
+
+def test_extended_transforms_match_reference_semantics(rng):
+    """RandomClipPoints + image transforms (utils/data_transforms.py:58-197)."""
+    from svdformer_pointsea_tpu.data.transforms import (
+        center_crop,
+        normalize_image,
+        random_background,
+        random_clip_points,
+        random_crop,
+        random_flip,
+        random_permute_rgb,
+    )
+
+    pc = rng.rand(100, 3).astype(np.float32)
+    out = random_clip_points(pc, rng, sigma=0.01, clip=0.05)
+    assert np.all(np.abs(out - pc) <= 0.05 + 1e-7) and not np.allclose(out, pc)
+
+    img = rng.rand(10, 10, 3).astype(np.float32)
+    n = normalize_image(img, mean=0.5, std=2.0)
+    np.testing.assert_allclose(n, img / 2.0 - 0.5, atol=1e-6)
+
+    # Crop with no resize: pure slicing at the shared-draw offset.
+    c = random_crop(img, img_size=(4, 4), crop_size=(4, 4), rnd_value=0.0)
+    np.testing.assert_allclose(c, img[:4, :4], atol=1e-6)
+    cc = center_crop(img, img_size=(4, 4), crop_size=(4, 4))
+    np.testing.assert_allclose(cc, img[3:7, 3:7], atol=1e-6)
+    # Resizing path keeps values within the input range.
+    r = center_crop(img, img_size=(8, 8), crop_size=(4, 4))
+    assert r.shape == (8, 8, 3) and r.min() >= img.min() - 1e-6
+
+    np.testing.assert_allclose(
+        random_flip(img, 0.9), img[:, ::-1], atol=0
+    )
+    assert random_flip(img, 0.1) is img
+
+    p = random_permute_rgb(img, np.random.RandomState(0))
+    assert sorted(p[0, 0].tolist()) == sorted(img[0, 0].tolist())
+
+    rgba = np.concatenate([img, np.zeros((10, 10, 1), np.float32)], axis=2)
+    bg = random_background(rgba, [(10, 10), (20, 20), (30, 30)], rng)
+    # alpha==0 everywhere -> pure background color
+    np.testing.assert_allclose(
+        bg[0, 0], np.asarray([10, 20, 30], np.float32) / 255.0, atol=1e-6
+    )
+
+
+def test_compose_dispatches_new_transforms(rng):
+    from svdformer_pointsea_tpu.data.transforms import Compose
+
+    data = {"cloud": rng.rand(64, 3).astype(np.float32)}
+    before = data["cloud"].copy()
+    pipe = Compose(
+        [
+            {
+                "callback": "RandomClipPoints",
+                "parameters": {"sigma": 0.01, "clip": 0.02},
+                "objects": ["cloud"],
+            }
+        ],
+        np.random.RandomState(7),
+    )
+    out = pipe(dict(data))
+    assert np.all(np.abs(out["cloud"] - before) <= 0.02 + 1e-7)

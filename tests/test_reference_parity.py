@@ -85,6 +85,53 @@ def test_svdformer_forward_matches_reference(rng, reference):
         assert err < 2e-3, f"{name}: max abs deviation {err:.2e}"
 
 
+def test_svdformer_55_variant_matches_reference(rng, reference):
+    """The ShapeNet-55 config flips the SDG decoders to plain self-attention
+    (dataset != 'ShapeNet', models/SVDFormer.py:48-51) and changes geometry
+    (config_55.py:54-59). Verify that variant weight-for-weight too."""
+    ref_svd, _ = reference
+    import jax
+
+    from svdformer_pointsea_tpu.nn import SVDFormer
+    from svdformer_pointsea_tpu.render.pcviews import PCViews
+    from svdformer_pointsea_tpu.train.convert import convert_state_dict
+
+    cfg = pcn_cfg()
+    cfg.NETWORK.step1, cfg.NETWORK.step2 = 2, 4
+    cfg.NETWORK.merge_points = cfg.NETWORK.local_points = 1024
+    cfg.NETWORK.view_distance = 1.5
+    cfg.DATASET.TEST_DATASET = "ShapeNet55"
+
+    torch.manual_seed(0)
+    ref_model = ref_svd.Model(cfg)
+    ref_model.eval()
+
+    B, N = 1, 2048
+    pts = make_partial(rng, B, N)
+    depth = np.asarray(PCViews(trans=-1.5, resolution=224).get_img(pts))
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(pts.copy()),
+            torch.from_numpy(depth.reshape(B * 3, 1, 224, 224).copy()),
+        )
+    ref_out = [o.numpy() for o in ref_out]
+
+    params, batch_stats = convert_state_dict(state_dict_numpy(ref_model))
+    model = SVDFormer(
+        step1=2, step2=4, merge_points=1024, local_points=1024,
+        view_distance=1.5, sdg_decoder=False,
+    )
+    ours = jax.jit(lambda p, d: model.apply(p, d[0], d[1], train=False))(
+        {"params": params, "batch_stats": batch_stats}, (pts, depth)
+    )
+    for name, ref_o, our_o in zip(("coarse", "fine1", "fine2"), ref_out, ours):
+        our_o = np.asarray(our_o)
+        assert our_o.shape == ref_o.shape, name
+        err = np.max(np.abs(our_o - ref_o))
+        assert err < 2e-3, f"{name}: max abs deviation {err:.2e}"
+
+
 def test_geospecnet_forward_matches_reference(rng, reference):
     """Same weight-for-weight check for GeoSpecNet (models/GeoSpecNet.py)."""
     load_reference_models()  # stubs + sys.path
