@@ -104,3 +104,74 @@ def test_sharded_step_matches_single_device(rng):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=0, atol=2.5e-4
         )
+
+
+def test_multihost_dp_rehearsal(rng):
+    """True multi-process DP: 2 processes x 4 fake CPU devices, gloo
+    collectives, per-process local batches via shard_host_local_batch
+    (the CPU rehearsal of a DCN-spanning multi-host TPU mesh).
+
+    Both processes must agree on the global loss, and it must match the
+    same step executed on a single-process 8-device mesh.
+    """
+    import os
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+
+    from svdformer_pointsea_tpu.nn import SVDFormer
+    from svdformer_pointsea_tpu.parallel import (
+        make_mesh,
+        replicated_sharding,
+        shard_batch,
+    )
+    from svdformer_pointsea_tpu.train import create_train_state, make_train_step
+    from svdformer_pointsea_tpu.train.state import make_optimizer
+
+    worker = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+    env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_")}
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", "12387", "4"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    losses = {}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, out[-2000:]
+        for line in out.splitlines():
+            if line.startswith("MHLOSS"):
+                _, pid, val = line.split()
+                losses[int(pid)] = float(val)
+    assert set(losses) == {0, 1}, outs
+    assert losses[0] == losses[1]
+
+    # Single-process 8-device reference (same data derivation as the worker).
+    mesh = make_mesh()
+    model = SVDFormer(step1=2, step2=2, merge_points=128, local_points=128)
+    B, N, res = 8, 512, 32
+    r = np.random.RandomState(0)
+    partial = r.rand(B, N, 3).astype(np.float32)
+    depth = r.rand(B, 3, res, res).astype(np.float32)
+    gt = r.rand(B, 1024, 3).astype(np.float32)
+    optimizer = make_optimizer()
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        (jnp.asarray(partial[:1]), jnp.asarray(depth[:1])),
+        optimizer,
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+    batch = shard_batch({"partial": partial, "depth": depth, "gt": gt}, mesh)
+    step = make_train_step(model, optimizer, donate=False)
+    _, metrics = step(
+        state, batch["partial"], batch["depth"], batch["gt"], jnp.float32(1e-4)
+    )
+    np.testing.assert_allclose(losses[0], float(metrics["loss"]), rtol=1e-5)
