@@ -66,9 +66,12 @@ def _dispatch(cfg: Config, args, mode=None) -> None:
     print("Use config:")
     pprint(cfg)
     if not args.test and not args.inference:
-        if cfg.train.adv_enabled or cfg.network.model == "geospecnet":
+        if cfg.network.model == "geospecnet":
+            # GeoSpec two-optimizer GAN trainer (core/train_geospec.py).
             train_net_gan(cfg)
         else:
+            # train_net handles the optional inline adversarial branch of
+            # the 55 track (core/train_55.py:115-122) via cfg.train.adv_enabled.
             train_net(cfg)
     else:
         if cfg.weights is None:

@@ -87,8 +87,13 @@ def pcn_config() -> Config:
     return Config()
 
 
-def shapenet55_config(mode: str = "easy") -> Config:
-    """SVDFormer on ShapeNet-55 (config_55.py): online crops, 8,192-pt gt."""
+def shapenet55_config(mode: str = "easy", adv: bool = False) -> Config:
+    """SVDFormer on ShapeNet-55 (config_55.py): online crops, 8,192-pt gt.
+
+    ``adv=True`` enables the optional adversarial branch
+    (config_55.py:64-81): a SimplePointDiscriminator trained alongside with
+    a BCE generator term.
+    """
     return Config(
         network=NetworkConfig(
             step1=2,
@@ -115,6 +120,7 @@ def shapenet55_config(mode: str = "easy") -> Config:
             weight_decay=5e-4,  # train_55.py:86-88 AdamW wd
             sqrt_loss=False,
             partial_matching=True,
+            adv_enabled=adv,
         ),
         out_path="out/svdformer_55",
     )
@@ -127,7 +133,6 @@ def geospec_config() -> Config:
         train=TrainConfig(
             sqrt_loss=True,
             partial_matching=True,
-            adv_enabled=True,
         ),
         out_path="out/geospecnet_pcn",
     )

@@ -25,7 +25,11 @@ from svdformer_pointsea_tpu.nn.layers import (
 )
 from svdformer_pointsea_tpu.nn.resnet import ImageTrunk, ResNet18, set_trunk_bf16
 from svdformer_pointsea_tpu.nn.svdformer import SVDFormer
-from svdformer_pointsea_tpu.nn.geospecnet import GeoSpecNet, PointDiscriminator
+from svdformer_pointsea_tpu.nn.geospecnet import (
+    GeoSpecNet,
+    PointDiscriminator,
+    SimplePointDiscriminator,
+)
 from svdformer_pointsea_tpu.nn.pointsea import PointSea
 
 __all__ = [
@@ -48,5 +52,6 @@ __all__ = [
     "SVDFormer",
     "GeoSpecNet",
     "PointDiscriminator",
+    "SimplePointDiscriminator",
     "PointSea",
 ]

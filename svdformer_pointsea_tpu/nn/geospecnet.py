@@ -205,6 +205,31 @@ class GeoSpecNet(linen.Module):
         return coarse, fine1, fine2
 
 
+class SimplePointDiscriminator(linen.Module):
+    """Lightweight point-set discriminator for the optional adversarial
+    ShapeNet-55 training (core/train_55.py:21-46): shared MLP with
+    LeakyReLU(0.2) (no norm), max-pool aggregate, 2-layer head.
+
+    pcd (B, N, 3) -> logits (B, 1) (the reference head keeps the trailing
+    singleton; BCE-with-logits broadcasts over it).
+    """
+
+    hidden: int = 128
+
+    @linen.compact
+    def __call__(self, pcd: Array) -> Array:
+        x = pcd
+        for i, act in ((0, True), (1, True), (2, False)):
+            x = linen.Dense(self.hidden, name=f"mlp{i}")(x)
+            if act:
+                x = jax.nn.leaky_relu(x, negative_slope=0.2)
+        g = jnp.max(x, axis=1)  # (B, hidden)
+        g = jax.nn.leaky_relu(
+            linen.Dense(self.hidden, name="head0")(g), negative_slope=0.2
+        )
+        return linen.Dense(1, name="head1")(g)
+
+
 class PointDiscriminator(linen.Module):
     """PointNet-stem discriminator (models/GeoSpecNet.py:235-257).
 

@@ -163,6 +163,124 @@ def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float):
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+class AdvAuxState(flax.struct.PyTreeNode):
+    """Discriminator side-state for the optional ShapeNet-55 adversarial
+    branch (core/train_55.py:115-122). Not checkpointed — the reference
+    saves only {model, optimizer} on this track (train_55.py:227-230)."""
+
+    d_params: Any
+    d_opt_state: Any
+
+
+def create_adv55_state(cfg: Config, seed: int = 1):
+    """(discriminator model, its optimizer, AdvAuxState)."""
+    from svdformer_pointsea_tpu.nn import SimplePointDiscriminator
+
+    d_model = SimplePointDiscriminator()
+    d_opt = make_optimizer(weight_decay=0.0, betas=cfg.train.betas)
+    rng = np.random.RandomState(seed)
+    fake = jnp.asarray(rng.rand(2, cfg.data.gt_points, 3).astype(np.float32))
+    d_vars = jax.jit(d_model.init)(jax.random.PRNGKey(seed + 1), fake)
+    return d_model, d_opt, AdvAuxState(
+        d_params=d_vars["params"], d_opt_state=d_opt.init(d_vars["params"])
+    )
+
+
+def make_adv55_train_step(
+    model,
+    d_model,
+    optimizer,
+    d_opt,
+    *,
+    sqrt_loss: bool,
+    lambda_g: float,
+    d_steps: int,
+):
+    """Jitted adversarial 55 step (core/train_55.py:144-180).
+
+    signature: (state, adv, partial, depth, gt, lr, d_lr) ->
+        (state, adv, metrics). Per batch: ``d_steps`` D updates on
+        0.5*(BCE(D(gt),1)+BCE(D(stop_grad(P2)),0)) with the SAME fake
+        cloud, then one G update on get_loss_PM + lambda_g*BCE(D_new(P2),1).
+    """
+    from svdformer_pointsea_tpu.train.state import TrainState
+
+    def step_fn(state, adv, partial, depth, gt, lr, d_lr):
+        preds0, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            partial,
+            depth,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        fake = jax.lax.stop_gradient(preds0[-1])
+
+        def d_loss_fn(d_params):
+            real_logits = d_model.apply({"params": d_params}, gt)
+            fake_logits = d_model.apply({"params": d_params}, fake)
+            return 0.5 * (
+                _bce_logits(real_logits, 1.0) + _bce_logits(fake_logits, 0.0)
+            )
+
+        def d_update(_, carry):
+            d_params, d_opt_state, _ = carry
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+            d_opt_state = _set_lr(d_opt_state, d_lr)
+            d_updates, d_opt_state = d_opt.update(d_grads, d_opt_state, d_params)
+            return optax.apply_updates(d_params, d_updates), d_opt_state, d_loss
+
+        d_params, d_opt_state, d_loss = jax.lax.fori_loop(
+            0,
+            d_steps,
+            d_update,
+            (adv.d_params, adv.d_opt_state, jnp.zeros(())),
+        )
+
+        def g_loss_fn(params):
+            preds, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                partial,
+                depth,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            recon, parts = get_loss_pm(preds, partial, gt, sqrt=sqrt_loss)
+            g_adv = _bce_logits(
+                d_model.apply({"params": d_params}, preds[-1]), 1.0
+            )
+            return recon + lambda_g * g_adv, (
+                parts,
+                recon,
+                g_adv,
+                mutated["batch_stats"],
+            )
+
+        (g_loss, (parts, recon, g_adv, new_bs)), grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.params)
+        opt_state = _set_lr(state.opt_state, lr)
+        updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_bs,
+            opt_state=opt_state,
+        )
+        metrics = {
+            "loss": g_loss,
+            "d_loss": d_loss,
+            "gan": g_adv,
+            "cdc": parts[0],
+            "cd1": parts[1],
+            "cd2": parts[2],
+        }
+        return new_state, AdvAuxState(d_params, d_opt_state), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
 def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional[int] = None):
     """Full GAN training run (core/train_geospec.py). Returns (state, best)."""
     set_seed(cfg.seed)

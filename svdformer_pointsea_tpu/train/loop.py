@@ -107,12 +107,44 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
     mesh = make_mesh_for_batch(tcfg.batch_size)
     state = jax.device_put(state, replicated_sharding(mesh))
 
-    train_step = make_train_step(
-        model,
-        optimizer,
-        sqrt_loss=tcfg.sqrt_loss,
-        partial_matching=tcfg.partial_matching,
-    )
+    # Optional adversarial branch on the 55 track (core/train_55.py:115-122,
+    # 156-176): a lightweight point discriminator trained alongside, with a
+    # BCE generator term. D state is run-local (the reference checkpoints
+    # only {model, optimizer} here, train_55.py:227-230).
+    adversarial = bool(getattr(tcfg, "adv_enabled", False))
+    if adversarial:
+        from svdformer_pointsea_tpu.train.gan import (
+            create_adv55_state,
+            make_adv55_train_step,
+        )
+
+        d_model, d_opt, adv_state = create_adv55_state(cfg, seed=cfg.seed)
+        adv_state = jax.device_put(adv_state, replicated_sharding(mesh))
+        adv_step = make_adv55_train_step(
+            model,
+            d_model,
+            optimizer,
+            d_opt,
+            sqrt_loss=tcfg.sqrt_loss,
+            lambda_g=tcfg.adv_lambda_g,
+            d_steps=tcfg.adv_d_steps,
+        )
+
+        def train_step(state, partial, depth, gt, lr):
+            nonlocal adv_state
+            state, adv_state, metrics = adv_step(
+                state, adv_state, partial, depth, gt, lr,
+                jnp.float32(tcfg.adv_d_lr),
+            )
+            return state, metrics
+
+    else:
+        train_step = make_train_step(
+            model,
+            optimizer,
+            sqrt_loss=tcfg.sqrt_loss,
+            partial_matching=tcfg.partial_matching,
+        )
     lr_fn = reference_lr_schedule(
         tcfg.learning_rate, tcfg.warmup_steps, tcfg.lr_decay_step, tcfg.gamma
     )

@@ -217,3 +217,104 @@ def test_average_meter_multi_item():
     s = AverageMeter()
     s.update(5)
     assert s.avg() == 5.0
+
+
+def test_micro_train_55_adversarial(tmp_path, rng):
+    """Optional adversarial 55 branch (core/train_55.py:115-122,156-176):
+    SimplePointDiscriminator trained inline, BCE generator term."""
+    gt_points, n_points = 512, 128
+    pc_dir = tmp_path / "shapenet_pc"
+    pc_dir.mkdir()
+    idx_dir = tmp_path / "ShapeNet55"
+    idx_dir.mkdir()
+    names = []
+    for i in range(2):
+        name = f"0269115{i}-model{i}.npy"
+        np.save(pc_dir / name, rng.rand(gt_points, 3).astype(np.float32))
+        names.append(name)
+    (idx_dir / "train.txt").write_text("\n".join(names))
+    (idx_dir / "test.txt").write_text(names[0] + "\n")
+
+    cfg = shapenet55_config(mode="easy", adv=True)
+    assert cfg.train.adv_enabled
+    cfg = cfg.replace(
+        network=dataclasses.replace(
+            cfg.network, **TINY_NET, n_input_points=n_points, decoder="attn"
+        ),
+        data=dataclasses.replace(
+            cfg.data,
+            category_file=str(idx_dir),
+            complete_points_path=str(pc_dir) + "/%s",
+            gt_points=gt_points,
+            n_points=n_points,
+            num_workers=2,
+        ),
+        train=dataclasses.replace(
+            cfg.train,
+            batch_size=2,
+            n_epochs=1,
+            save_freq=1,
+            warmup_steps=2,
+            adv_d_steps=2,
+        ),
+        out_path=str(tmp_path / "out55adv"),
+    )
+    from svdformer_pointsea_tpu.train import evaluate as ev
+
+    orig = ev.eval_55
+
+    def fast_eval(cfg, model, variables, loader, logger=None, epoch=0, mode=None):
+        return orig(cfg, model, variables, loader, logger, epoch, mode, n_viewpoints=1)
+
+    import svdformer_pointsea_tpu.train.loop as loop_mod
+
+    saved = loop_mod.eval_55
+    loop_mod.eval_55 = fast_eval
+    try:
+        state, best = train_net(cfg, max_epochs=1)
+    finally:
+        loop_mod.eval_55 = saved
+    assert np.isfinite(best)
+    assert int(state.step) == 1
+
+
+def test_adv55_step_updates_both_networks(rng):
+    """One adversarial step moves both G and D params and returns finite
+    losses (the D-steps fori_loop and the 0.5-weighted BCE)."""
+    import jax
+    import jax.numpy as jnp
+
+    from svdformer_pointsea_tpu.train.gan import (
+        create_adv55_state,
+        make_adv55_train_step,
+    )
+
+    cfg = shapenet55_config(adv=True)
+    cfg = cfg.replace(
+        network=dataclasses.replace(cfg.network, **TINY_NET, n_input_points=64),
+        data=dataclasses.replace(cfg.data, gt_points=256, n_points=64),
+    )
+    model = build_model(cfg)
+    optimizer = make_optimizer()
+    state = init_state(cfg, model, optimizer, seed=0)
+    d_model, d_opt, adv = create_adv55_state(cfg, seed=0)
+    step = make_adv55_train_step(
+        model, d_model, optimizer, d_opt,
+        sqrt_loss=False, lambda_g=0.05, d_steps=2,
+    )
+    B = 2
+    partial = jnp.asarray(rng.rand(B, 64, 3).astype(np.float32))
+    depth = jnp.asarray(rng.rand(B, 3, 224, 224).astype(np.float32))
+    gt = jnp.asarray(rng.rand(B, 256, 3).astype(np.float32))
+    # Snapshot before the call: the step donates (state, adv) buffers.
+    g0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    d0 = np.asarray(jax.tree_util.tree_leaves(adv.d_params)[0])
+    new_state, new_adv, metrics = step(
+        state, adv, partial, depth, gt, jnp.float32(1e-4), jnp.float32(1e-4)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["d_loss"]))
+    g1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert not np.allclose(g0, np.asarray(g1))
+    d1 = jax.tree_util.tree_leaves(new_adv.d_params)[0]
+    assert not np.allclose(d0, np.asarray(d1))
