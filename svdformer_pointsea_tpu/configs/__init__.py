@@ -7,6 +7,7 @@ from svdformer_pointsea_tpu.configs.base import (
     TrainConfig,
     geospec_config,
     pcn_config,
+    pointsea_config,
     shapenet55_config,
 )
 
@@ -18,4 +19,5 @@ __all__ = [
     "pcn_config",
     "shapenet55_config",
     "geospec_config",
+    "pointsea_config",
 ]

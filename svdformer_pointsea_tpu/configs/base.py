@@ -126,6 +126,20 @@ def shapenet55_config(mode: str = "easy", adv: bool = False) -> Config:
     )
 
 
+def pointsea_config() -> Config:
+    """PointSea on PCN data.
+
+    The reference ships PointSea as a model package only — no core/ trainer
+    imports it (SURVEY.md §1) — so this config goes beyond the reference:
+    it reuses the PCN orchestration with the realistic voxel renderer
+    (models_PointSea/mv_utils_zs.py) selected by ``make_renderer``.
+    """
+    return Config(
+        network=NetworkConfig(model="pointsea"),
+        out_path="out/pointsea_pcn",
+    )
+
+
 def geospec_config() -> Config:
     """GeoSpecNet + GAN on PCN data (config_geospec.py)."""
     return Config(

@@ -21,7 +21,7 @@ from svdformer_pointsea_tpu.configs import Config
 from svdformer_pointsea_tpu.data import FIXED_CORNERS, crop_fixed
 from svdformer_pointsea_tpu.losses import calc_cd, calc_dcd
 from svdformer_pointsea_tpu.ops import fps_subsample
-from svdformer_pointsea_tpu.render import PCViews
+from svdformer_pointsea_tpu.render import PCViews, make_renderer
 from svdformer_pointsea_tpu.utils import AverageMeter
 
 METRIC_NAMES = ["cd", "dcd", "f1"]
@@ -65,7 +65,7 @@ def eval_pcn(
     Returns the mean CD (the best-checkpoint selection metric,
     core/test_pcn.py:115).
     """
-    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
+    render = make_renderer(cfg)
     eval_fn = make_pcn_eval_fn(model, render)
 
     category_metrics: Dict[str, AverageMeter] = {}
@@ -127,7 +127,7 @@ def eval_55(
     mode = mode or cfg.data.mode
     n = cfg.data.gt_points
     num_crop = int(n * CROP_RATIO[mode])
-    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
+    render = make_renderer(cfg)
     eval_fn = make_55_eval_fn(model, render, num_crop, n_sample=cfg.data.n_points)
 
     category_metrics: Dict[str, AverageMeter] = {}

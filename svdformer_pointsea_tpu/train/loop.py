@@ -21,7 +21,7 @@ from svdformer_pointsea_tpu.configs import Config
 from svdformer_pointsea_tpu.data import Loader, crop_random_resampled, make_dataset, random_crop_params
 from svdformer_pointsea_tpu.nn import GeoSpecNet, PointSea, SVDFormer
 from svdformer_pointsea_tpu.parallel import make_mesh_for_batch, replicated_sharding, shard_batch
-from svdformer_pointsea_tpu.render import PCViews
+from svdformer_pointsea_tpu.render import PCViews, make_renderer
 from svdformer_pointsea_tpu.train.checkpoint import CheckpointManager, restore_checkpoint
 from svdformer_pointsea_tpu.train.evaluate import eval_55, eval_pcn
 from svdformer_pointsea_tpu.train.state import (
@@ -66,7 +66,7 @@ def init_state(cfg: Config, model, optimizer, seed: int = 1):
     """Initialize TrainState on host (replicated onto the mesh by caller)."""
     rng = np.random.RandomState(seed)
     partial = jnp.asarray(_sample_batch(cfg, rng))
-    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
+    render = make_renderer(cfg)  # PointSea: realistic voxel renderer
     depth = render.get_img(partial)
     key = jax.random.PRNGKey(seed)
     return create_train_state(model, key, (partial, depth), optimizer)
@@ -148,7 +148,7 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
     lr_fn = reference_lr_schedule(
         tcfg.learning_rate, tcfg.warmup_steps, tcfg.lr_decay_step, tcfg.gamma
     )
-    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
+    render = make_renderer(cfg)
 
     ckpts = CheckpointManager(cfg.out_path, tcfg.save_freq)
     start_epoch = 1
