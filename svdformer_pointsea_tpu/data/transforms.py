@@ -83,9 +83,16 @@ def pc_norm(pc: np.ndarray) -> np.ndarray:
     return pc / m
 
 
-def normalize_object_pose(ptcloud: np.ndarray, bbox: np.ndarray) -> np.ndarray:
-    """KITTI-style bbox pose normalization (utils/data_transforms.py:248-272)."""
-    bbox = bbox.copy()
+def normalize_object_pose(
+    ptcloud: np.ndarray, bbox: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """KITTI-style bbox pose normalization (utils/data_transforms.py:248-272).
+
+    Returns (normalized ptcloud, normalized bbox) — the reference mutates
+    the sample's bbox in place (centered, rotated, unit-scaled); we return
+    it so Compose can store it back.
+    """
+    bbox = bbox.copy().astype(np.float64)
     center = (bbox.min(0) + bbox.max(0)) / 2
     bbox -= center
     yaw = np.arctan2(bbox[3, 1] - bbox[0, 1], bbox[3, 0] - bbox[0, 0])
@@ -98,8 +105,10 @@ def normalize_object_pose(ptcloud: np.ndarray, bbox: np.ndarray) -> np.ndarray:
     )
     bbox = bbox @ rotation
     scale = bbox[3, 0] - bbox[0, 0]
+    bbox /= scale
     ptcloud = (ptcloud - center) @ rotation / scale
-    return ptcloud @ np.asarray([[1, 0, 0], [0, 0, 1], [0, 1, 0]], ptcloud.dtype)
+    ptcloud = ptcloud @ np.asarray([[1, 0, 0], [0, 0, 1], [0, 1, 0]], ptcloud.dtype)
+    return ptcloud.astype(np.float32), bbox.astype(np.float32)
 
 
 def random_clip_points(
@@ -206,8 +215,19 @@ class Compose:
         for step in self.steps:
             cb = step["callback"]
             params = step.get("parameters", {})
-            objects = step["objects"]
+            objects = step.get("objects", ())
             rnd_value = self.rng.uniform(0, 1)
+            if cb == "NormalizeObjectPose":
+                # Applied once to the whole sample, not per object key
+                # (utils/data_transforms.py:30-31); ``input_keys`` names the
+                # cloud and bbox entries, and the bbox is normalized too.
+                keys = params["input_keys"]
+                pt, bbox = normalize_object_pose(
+                    data[keys["ptcloud"]], data[keys["bbox"]]
+                )
+                data[keys["ptcloud"]] = pt
+                data[keys["bbox"]] = bbox
+                continue
             for k in list(data.keys()):
                 if k not in objects:
                     continue
@@ -227,10 +247,6 @@ class Compose:
                         self.rng,
                         sigma=params.get("sigma", 0.01),
                         clip=params.get("clip", 0.05),
-                    )
-                elif cb == "NormalizeObjectPose":
-                    data[k] = normalize_object_pose(
-                        data[k], data[params["bbox_key"]]
                     )
                 elif cb == "Normalize":
                     data[k] = normalize_image(data[k], params["mean"], params["std"])

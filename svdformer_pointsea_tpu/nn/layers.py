@@ -156,6 +156,20 @@ def _flash_eligible(q, k) -> bool:
     )
 
 
+def _flash_blocks(qn: int, kn: int) -> tuple:
+    """(block_q, block_k) for the forward flash kernel. Blocks must DIVIDE
+    the sequence lengths (flash_attention._verify_block raises otherwise);
+    eligibility guarantees both are multiples of 512, so 512 always works —
+    pick the largest tuned candidate that divides. Whole-array blocks on
+    both axes crash the Mosaic compiler (seen at 2048/2048), so shrink
+    block_q back to the base size in that case."""
+    nq = min(qn, next(b for b in (1024, 512) if qn % b == 0 or b > qn))
+    nk = min(kn, next(b for b in (2048, 1024, 512) if kn % b == 0 or b > kn))
+    if nq == qn and nk == kn:
+        nq = min(nq, _FLASH_BLOCK)
+    return nq, nk
+
+
 def _scaled_attention(q: Array, k: Array, v: Array) -> Array:
     """softmax(q kᵀ / sqrt(dh)) v over (B, N, h, dh) tensors."""
     dh = q.shape[-1]
@@ -175,10 +189,7 @@ def _scaled_attention(q: Array, k: Array, v: Array) -> Array:
         # Tuned on v5e at (B32, h8, 2048 tok): wider k blocks cut the
         # streaming-softmax bookkeeping ~13% for both dh=64 and dh=128
         # (bq=1024, bk=2048); bq==bk==2048 crashes the Mosaic compiler.
-        nq = min(1024, bq.shape[2])
-        nk = min(2048, bk.shape[2])
-        if nq == bq.shape[2] and nk == bk.shape[2]:
-            nq = min(nq, _FLASH_BLOCK)
+        nq, nk = _flash_blocks(bq.shape[2], bk.shape[2])
         bs = BlockSizes(
             block_q=nq,
             block_k_major=nk,

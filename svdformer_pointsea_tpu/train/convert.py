@@ -56,6 +56,28 @@ __all__ = [
 ]
 
 
+def _torchvision_path(parts):
+    """torchvision module path -> flax path: layerL.b -> layerL/blockb,
+    downsample.{0,1} -> down_conv/down_bn. Shared by the standalone
+    resnet18 converter and the PointSea ResEncoder branch of
+    ``_translate_img_trunk`` (both consume torchvision attribute names)."""
+    path = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p.startswith("layer") and i + 1 < len(parts) and parts[i + 1].isdigit():
+            path.extend([p, f"block{parts[i + 1]}"])
+            i += 2
+            continue
+        if p == "downsample":
+            path.append("down_conv" if parts[i + 1] == "0" else "down_bn")
+            i += 2
+            continue
+        path.append(p)
+        i += 1
+    return path
+
+
 def convert_torchvision_resnet18(sd: Dict[str, np.ndarray]):
     """torchvision resnet18 state dict -> (params, batch_stats) for
     nn.resnet.ResNet18 (PointSea's pretrained image trunk,
@@ -67,21 +89,7 @@ def convert_torchvision_resnet18(sd: Dict[str, np.ndarray]):
         if key.startswith("fc."):
             continue
         parts = key.split(".")
-        # layerL.b.<leaf...> -> layerL/blockb/<leaf...>; downsample.{0,1}
-        path = []
-        i = 0
-        while i < len(parts) - 1:
-            p = parts[i]
-            if p.startswith("layer") and parts[i + 1].isdigit():
-                path.extend([p, f"block{parts[i + 1]}"])
-                i += 2
-                continue
-            if p == "downsample":
-                path.append("down_conv" if parts[i + 1] == "0" else "down_bn")
-                i += 2
-                continue
-            path.append(p)
-            i += 1
+        path = _torchvision_path(parts[:-1])
         leaf = parts[-1]
         arr = np.asarray(value)
         if leaf == "num_batches_tracked":
@@ -198,15 +206,8 @@ def _translate_img_trunk(parts):
             sub = "down_conv" if rest[1] == "0" else "down_bn"
             rest = [sub] + rest[2:]
         return [_IMG_LAYER[idx], block] + rest
-    if idx in ("conv1", "bn1"):
-        return list(parts)
-    if idx.startswith("layer") and parts[1].isdigit():
-        block = f"block{parts[1]}"
-        rest = parts[2:]
-        if rest[0] == "downsample":
-            sub = "down_conv" if rest[1] == "0" else "down_bn"
-            rest = [sub] + rest[2:]
-        return [idx, block] + rest
+    if idx in ("conv1", "bn1") or idx.startswith("layer"):
+        return _torchvision_path(parts)
     raise KeyError(f"img_trunk index {idx} has no parameters")
 
 
@@ -380,6 +381,32 @@ def _insert(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
     node[path[-1]] = value
 
 
+_DEAD_BN_RE = re.compile(r"\bmlp_conv\.\d+\.bn\.(\w+)$")
+_DEAD_BN_INIT = {
+    "weight": 1.0,
+    "bias": 0.0,
+    "running_mean": 0.0,
+    "running_var": 1.0,
+}
+
+
+def _check_dead_bn(key: str, leaf: str, value: np.ndarray) -> None:
+    """The SA-module wrapper BNs are dropped because every SVDFormer-family
+    model runs them with if_bn=False (see _leaf). If a checkpoint ever
+    carries TRAINED stats there (an if_bn=True variant), dropping them would
+    silently corrupt the model — fail loudly instead."""
+    if leaf == "num_batches_tracked":
+        return
+    expected = _DEAD_BN_INIT[leaf]
+    if not np.allclose(np.asarray(value), expected, atol=1e-6):
+        raise ValueError(
+            f"{key}: expected untrained (if_bn=False) BatchNorm with "
+            f"{leaf}=={expected}, found trained values — this checkpoint "
+            "uses an SA module with if_bn=True, which this converter does "
+            "not map"
+        )
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray]):
     """Translate a reference state dict (numpy values) into
     ``(params, batch_stats)`` nested dicts matching ``SVDFormer.init``."""
@@ -387,6 +414,9 @@ def convert_state_dict(sd: Dict[str, np.ndarray]):
     batch_stats: Dict = {}
     for key, value in sd.items():
         renamed = _rename_segments(key)
+        m = _DEAD_BN_RE.search(renamed)
+        if m:
+            _check_dead_bn(key, m.group(1), np.asarray(value))
         parts = renamed.split(".")
         for path, collection, tf in _leaf(parts, key):
             arr = _apply(tf, np.asarray(value))

@@ -66,10 +66,31 @@ def main() -> None:
     batch = shard_host_local_batch(local, mesh)
 
     train_step = make_train_step(model, optimizer, donate=False)
-    _, metrics = train_step(
-        state, batch["partial"], batch["depth"], batch["gt"], jnp.float32(1e-4)
+    # AOT-compile, then rendezvous at a coordination-service barrier before
+    # executing: gloo's collective-context init times out after 30 s, and on
+    # a loaded single-CPU host the two processes can finish compiling
+    # minutes apart — executing without this barrier makes the early
+    # process's gloo connect expire while the peer is still compiling.
+    args = (
+        state,
+        batch["partial"],
+        batch["depth"],
+        batch["gt"],
+        jnp.float32(1e-4),
     )
-    print(f"MHLOSS {pid} {float(metrics['loss']):.10f}", flush=True)
+    compiled = train_step.lower(*args).compile()
+    from jax._src import distributed  # test-only use of the private client
+
+    distributed.global_state.client.wait_at_barrier(
+        "mh_worker_compiled", 1_200_000
+    )
+    _, metrics = compiled(*args)
+    # The loss is replicated (psum in-step): read the local shard directly.
+    # float() on a multi-process global array goes through process_allgather
+    # — an extra gloo clique whose 30 s context-init flakes on a loaded
+    # single-CPU host.
+    loss = float(np.asarray(metrics["loss"].addressable_data(0)))
+    print(f"MHLOSS {pid} {loss:.10f}", flush=True)
 
 
 if __name__ == "__main__":

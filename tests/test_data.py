@@ -280,3 +280,54 @@ def test_compose_dispatches_new_transforms(rng):
     )
     out = pipe(dict(data))
     assert np.all(np.abs(out["cloud"] - before) <= 0.02 + 1e-7)
+
+
+def test_normalize_object_pose_compose_semantics(rng):
+    """NormalizeObjectPose runs once per sample via parameters['input_keys']
+    (utils/data_transforms.py:30-31,248-272) and normalizes the bbox too."""
+    from svdformer_pointsea_tpu.data.transforms import Compose
+
+    cloud = rng.rand(50, 3).astype(np.float32) * 4 + 1
+    # A yaw-rotated unit box: corners ordered so bbox[0]/bbox[3] span x.
+    yaw = 0.7
+    rot = np.asarray(
+        [[np.cos(yaw), np.sin(yaw), 0], [-np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+    )
+    base = np.asarray(
+        [[-1, -0.5, 0], [-1, 0.5, 0], [1, 0.5, 0], [1, -0.5, 0],
+         [-1, -0.5, 1], [-1, 0.5, 1], [1, 0.5, 1], [1, -0.5, 1]],
+        np.float32,
+    )
+    bbox = (base @ rot).astype(np.float32) + 3.0
+    pipe = Compose(
+        [
+            {
+                "callback": "NormalizeObjectPose",
+                "parameters": {
+                    "input_keys": {"ptcloud": "partial_cloud", "bbox": "bounding_box"}
+                },
+                "objects": ["partial_cloud"],
+            }
+        ],
+        np.random.RandomState(0),
+    )
+    out = pipe({"partial_cloud": cloud.copy(), "bounding_box": bbox.copy()})
+    nb = out["bounding_box"]
+    # bbox is centered and unit-scaled along its yaw axis after the pass.
+    np.testing.assert_allclose((nb.min(0) + nb.max(0)) / 2, 0, atol=1e-5)
+    np.testing.assert_allclose(nb[3, 0] - nb[0, 0], 1.0, atol=1e-5)
+    # cloud is mapped into the same canonical frame (y/z axes swapped).
+    assert np.abs(out["partial_cloud"]).max() < 10
+
+
+def test_flash_block_selection_divides():
+    """Forward flash blocks must divide the sequence lengths for every
+    eligible (multiple-of-512) shape (nn/layers.py:_flash_blocks)."""
+    from svdformer_pointsea_tpu.nn.layers import _flash_blocks
+
+    for qn in (512, 1024, 1536, 2048, 2560, 4096, 16384):
+        for kn in (512, 1024, 1536, 2048, 3072, 4096):
+            nq, nk = _flash_blocks(qn, kn)
+            assert qn % nq == 0, (qn, nq)
+            assert kn % nk == 0, (kn, nk)
+            assert not (nq == qn and nk == kn) or qn <= 512

@@ -130,26 +130,44 @@ def test_multihost_dp_rehearsal(rng):
     from svdformer_pointsea_tpu.train.state import make_optimizer
 
     worker = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items() if not k.startswith("XLA_")}
-    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", "12387", "4"],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            env=env,
-            text=True,
-        )
-        for pid in range(2)
-    ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
-    losses = {}
-    for out, p in zip(outs, procs):
-        assert p.returncode == 0, out[-2000:]
-        for line in out.splitlines():
-            if line.startswith("MHLOSS"):
-                _, pid, val = line.split()
-                losses[int(pid)] = float(val)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    # A free rendezvous port per run (fixed ports collide across sessions).
+    import socket
+
+    def run_pair():
+        with socket.socket() as sock:
+            sock.bind(("localhost", 0))
+            port = sock.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", str(port), "4"],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                env=env,
+                text=True,
+            )
+            for pid in range(2)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        if any(p.returncode != 0 for p in procs):
+            return None, outs
+        losses = {}
+        for out in outs:
+            for line in out.splitlines():
+                if line.startswith("MHLOSS"):
+                    _, pid, val = line.split()
+                    losses[int(pid)] = float(val)
+        return losses, outs
+
+    # One retry: gloo's 30 s collective-context deadline can expire under
+    # heavy CPU starvation (two workers sharing one core with the compile
+    # threads); a genuine sharding bug fails deterministically on both tries.
+    losses, outs = run_pair()
+    if losses is None:
+        losses, outs = run_pair()
+    assert losses is not None, outs[0][-1500:] + outs[1][-1500:]
     assert set(losses) == {0, 1}, outs
     assert losses[0] == losses[1]
 
