@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from svdformer_pointsea_tpu.nn.layers import (
+    BatchNorm,
     MLPConv,
     PointNetSAModuleKNN,
     SelfAttentionBlock,
@@ -243,7 +244,7 @@ class PointDiscriminator(linen.Module):
         x = pcd
         for i, f in enumerate((64, 128, self.feat_size)):
             x = linen.Dense(f, name=f"stem{i}")(x)
-            x = linen.BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
+            x = BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
             x = jax.nn.relu(x)
         x = jnp.max(x, axis=1)  # (B, feat)
         x = jax.nn.relu(linen.Dense(self.feat_size // 2, name="head0")(x))

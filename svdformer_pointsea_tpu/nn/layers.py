@@ -24,6 +24,8 @@ in the three models, so it is omitted entirely (deterministic forward).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Sequence
 
 import flax.linen as linen
@@ -40,6 +42,11 @@ from svdformer_pointsea_tpu.ops import (
 
 Array = jax.Array
 
+# Reference BatchNorms run with torch's default momentum 0.1, i.e. an EMA
+# decay of 0.9 (flax's ``momentum``); flax's default 0.99 updates running
+# stats 10x slower (caught by the train-mode oracle parity test).
+BatchNorm = functools.partial(linen.BatchNorm, momentum=0.9)
+
 
 class MLPConv(linen.Module):
     """Dense stack: ReLU between layers, no activation after the last."""
@@ -53,7 +60,7 @@ class MLPConv(linen.Module):
             x = linen.Dense(f, name=f"layer{i}")(x)
             if i < len(self.features) - 1:
                 if self.bn:
-                    x = linen.BatchNorm(use_running_average=not train, axis=-1)(x)
+                    x = BatchNorm(use_running_average=not train, axis=-1)(x)
                 x = jax.nn.relu(x)
         return x
 
@@ -89,7 +96,7 @@ class SharedMLP(linen.Module):
             is_last = i == n - 1
             if not is_last or self.last_act:
                 if self.if_bn:
-                    x = linen.BatchNorm(
+                    x = BatchNorm(
                         use_running_average=not train, axis=-1, name=f"bn{i}"
                     )(x)
                 x = jax.nn.relu(x)
@@ -338,7 +345,7 @@ class EdgeConv(linen.Module):
         for i, (f, act) in enumerate([(half, True), (half, True), (self.out_channels, False)]):
             feat = linen.Dense(f, name=f"conv{i}")(feat)
             if act:
-                feat = linen.BatchNorm(
+                feat = BatchNorm(
                     use_running_average=not train, axis=-1, name=f"bn{i}"
                 )(feat)
                 feat = jax.nn.leaky_relu(feat, negative_slope=0.2)

@@ -17,6 +17,7 @@ Two variants, mirroring the reference's two image encoders:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import flax.linen as linen
@@ -24,6 +25,9 @@ import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# torch BatchNorm momentum 0.1 == flax EMA decay 0.9 (see nn/layers.py).
+BatchNorm = functools.partial(linen.BatchNorm, momentum=0.9)
 
 # Optional bf16 compute for the image trunks at eval time (params stay f32;
 # output cast back to f32), worth ~3 ms/it at bs32 on v5e. Default OFF:
@@ -61,7 +65,7 @@ class BasicBlock(linen.Module):
             self.planes, (3, 3), strides=(self.stride, self.stride),
             padding=1, use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        out = linen.BatchNorm(
+        out = BatchNorm(
             use_running_average=not train, dtype=self.dtype, name="bn1"
         )(out)
         out = jax.nn.relu(out)
@@ -71,7 +75,7 @@ class BasicBlock(linen.Module):
         )(out)
         # zero_init_residual: bn2 scale starts at 0 so each block starts as
         # the identity (models/SVDFormer.py:129, resnet.py:170-175).
-        out = linen.BatchNorm(
+        out = BatchNorm(
             use_running_average=not train, scale_init=linen.initializers.zeros,
             dtype=self.dtype, name="bn2",
         )(out)
@@ -80,7 +84,7 @@ class BasicBlock(linen.Module):
                 self.planes, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="down_conv",
             )(x)
-            identity = linen.BatchNorm(
+            identity = BatchNorm(
                 use_running_average=not train, dtype=self.dtype, name="down_bn"
             )(identity)
         return jax.nn.relu(out + identity)
@@ -120,7 +124,7 @@ class ImageTrunk(linen.Module):
         x = linen.Conv(
             fs, (3, 3), padding=1, use_bias=False, dtype=dtype, name="stem_conv"
         )(x)
-        x = linen.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, dtype=dtype, name="stem_bn"
         )(x)
         x = jax.nn.relu(x)
@@ -147,7 +151,7 @@ class ResNet18(linen.Module):
             64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
             dtype=dtype, name="conv1",
         )(x)
-        x = linen.BatchNorm(use_running_average=not train, dtype=dtype, name="bn1")(x)
+        x = BatchNorm(use_running_average=not train, dtype=dtype, name="bn1")(x)
         x = jax.nn.relu(x)
         x = linen.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         in_planes = 64

@@ -258,3 +258,105 @@ def test_discriminator_matches_reference(rng, reference):
         )({"params": params, "batch_stats": batch_stats}, pts)
     )
     np.testing.assert_allclose(ours, ref_logit, rtol=1e-4, atol=1e-4)
+
+
+def test_losses_and_metrics_match_reference(rng, reference):
+    """Loss pyramids and metric calcs vs the genuine utils/loss_utils.py
+    (with the CPU chamfer/FPS stand-ins): get_loss, get_loss_PM, calc_cd
+    (incl. the cham_loss(gt, output) arg-order quirk, :101) and
+    density-aware CD."""
+    load_reference_models()
+    import utils.loss_utils as ref_losses
+
+    from svdformer_pointsea_tpu.losses import (
+        calc_cd,
+        calc_dcd,
+        get_loss,
+        get_loss_pm,
+    )
+
+    B = 2
+    preds = [
+        rng.rand(B, 64, 3).astype(np.float32),
+        rng.rand(B, 256, 3).astype(np.float32),
+        rng.rand(B, 1024, 3).astype(np.float32),
+    ]
+    gt = rng.rand(B, 1024, 3).astype(np.float32)
+    partial = rng.rand(B, 256, 3).astype(np.float32)
+
+    t = lambda a: torch.from_numpy(a.copy())
+    for sqrt in (True, False):
+        ref_total, ref_parts = ref_losses.get_loss([t(p) for p in preds], t(gt), sqrt=sqrt)
+        total, parts = get_loss(preds, gt, sqrt=sqrt)
+        np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-4)
+        for a, b in zip(parts, ref_parts):
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-4)
+
+        ref_total, _ = ref_losses.get_loss_PM(
+            [t(p) for p in preds], t(partial), t(gt), sqrt=sqrt
+        )
+        total, _ = get_loss_pm(preds, partial, gt, sqrt=sqrt)
+        np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-4)
+
+    out = preds[-1]
+    ref_cd_p, ref_cd_t, ref_f1 = ref_losses.calc_cd(t(out), t(gt), calc_f1=True)
+    cd_p, cd_t, f1 = calc_cd(out, gt, calc_f1=True)
+    np.testing.assert_allclose(np.asarray(cd_p), ref_cd_p.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(cd_t), ref_cd_t.numpy(), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(f1), ref_f1.numpy(), rtol=1e-4, atol=1e-6)
+
+    ref_dcd, _, _ = ref_losses.calc_dcd(t(out), t(gt))
+    dcd = calc_dcd(out, gt)[0]
+    np.testing.assert_allclose(np.asarray(dcd), ref_dcd.numpy(), rtol=1e-4)
+
+
+def test_svdformer_train_mode_matches_reference(rng, reference):
+    """Train-mode forward parity: BatchNorm uses batch statistics on both
+    sides (single-process torch sees the full batch, as does our mesh-less
+    CPU apply), so outputs and updated running stats must agree."""
+    ref_svd, _ = reference
+    import jax
+
+    from svdformer_pointsea_tpu.nn import SVDFormer
+    from svdformer_pointsea_tpu.render.pcviews import PCViews
+    from svdformer_pointsea_tpu.train.convert import convert_state_dict
+
+    torch.manual_seed(0)
+    ref_model = ref_svd.Model(pcn_cfg())
+    ref_model.train()
+
+    B, N = 2, 2048
+    pts = make_partial(rng, B, N)
+    depth = np.asarray(PCViews(trans=-0.7, resolution=224).get_img(pts))
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(pts.copy()),
+            torch.from_numpy(depth.reshape(B * 3, 1, 224, 224).copy()),
+        )
+    ref_out = [o.numpy() for o in ref_out]
+    # Updated running stats from the torch side (momentum 0.1 defaults).
+    ref_sd_after = state_dict_numpy(ref_model)
+
+    torch.manual_seed(0)
+    fresh = ref_svd.Model(pcn_cfg())  # same init, untouched stats
+    params, batch_stats = convert_state_dict(state_dict_numpy(fresh))
+    model = SVDFormer()
+    ours, mutated = jax.jit(
+        lambda p, d: model.apply(
+            p, d[0], d[1], train=True, mutable=["batch_stats"]
+        )
+    )({"params": params, "batch_stats": batch_stats}, (pts, depth))
+
+    for name, ref_o, our_o in zip(("coarse", "fine1", "fine2"), ref_out, ours):
+        our_o = np.asarray(our_o)
+        err = np.max(np.abs(our_o - ref_o))
+        assert err < 5e-3, f"{name}: max abs deviation {err:.2e}"
+
+    # Spot-check one updated running stat through the converter mapping:
+    # the image trunk's stem BN (img_feature_extractor.1).
+    got = np.asarray(
+        mutated["batch_stats"]["encoder"]["img_trunk"]["stem_bn"]["mean"]
+    )
+    want = ref_sd_after["encoder.img_feature_extractor.1.running_mean"]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)

@@ -121,12 +121,20 @@ def _install_stubs(torch):
             d2, i2 = d.min(dim=1)
             return d1, d2, i1.to(torch.int32), i2.to(torch.int32)
 
+    # Package stubs with real __path__ so non-CUDA submodules (fscore,
+    # chamfer_python) still import from the reference, while metrics/__init__
+    # (which JIT-builds both CUDA extensions on import) never executes.
     for name in ("metrics", "metrics.CD", "metrics.CD.chamfer3D"):
         if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+            mod = types.ModuleType(name)
+            mod.__path__ = [
+                os.path.join(REFERENCE_ROOT, *name.split("."))
+            ]
+            sys.modules[name] = mod
     cham = types.ModuleType("metrics.CD.chamfer3D.dist_chamfer_3D")
     cham.chamfer_3DDist = chamfer_3DDist
     sys.modules["metrics.CD.chamfer3D.dist_chamfer_3D"] = cham
+    sys.modules["metrics.CD.chamfer3D"].dist_chamfer_3D = cham
 
     if "easydict" not in sys.modules:
         class EasyDict(dict):
