@@ -349,6 +349,11 @@ class EdgeConv(linen.Module):
                     use_running_average=not train, axis=-1, name=f"bn{i}"
                 )(feat)
                 feat = jax.nn.leaky_relu(feat, negative_slope=0.2)
+        # Max over neighbours. The ``central`` half is tied across all K,
+        # but tie routing (torch: first index; jnp.max: even split) is
+        # gradient-neutral here: tied positions carry equal values, so every
+        # downstream aggregation weights them identically (verified by the
+        # gradient oracle parity test).
         return jnp.max(feat, axis=2)
 
 

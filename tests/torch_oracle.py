@@ -116,7 +116,17 @@ def _install_stubs(torch):
 
     class chamfer_3DDist(torch.nn.Module):
         def forward(self, a, b):
-            d = ((a[:, :, None] - b[:, None]) ** 2).sum(-1)  # (B, n, m)
+            if a.shape[1] * b.shape[1] > 16_000_000:
+                # Memory-lean matmul form for loss-scale (16k x 16k) calls:
+                # the exact-diff form materialises a (B, n, m, 3) tensor.
+                a2 = (a**2).sum(-1)
+                b2 = (b**2).sum(-1)
+                d = a2[:, :, None] + b2[:, None, :] - 2 * torch.bmm(
+                    a, b.transpose(1, 2)
+                )
+                d = d.clamp_min(0)
+            else:
+                d = ((a[:, :, None] - b[:, None]) ** 2).sum(-1)  # (B, n, m)
             d1, i1 = d.min(dim=2)
             d2, i2 = d.min(dim=1)
             return d1, d2, i1.to(torch.int32), i2.to(torch.int32)
