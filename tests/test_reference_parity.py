@@ -460,3 +460,96 @@ def test_svdformer_gradient_matches_reference(rng, reference):
 
     walk(ref_gp, grads, ())
     assert checked[0] > 100  # every converted torch grad leaf was compared
+
+
+def test_pointsea_gradient_matches_reference(rng, reference):
+    """Gradient parity for PointSea: unlike SVDFormer's SDG, its structure
+    analysis does NOT detach the in-model chamfer (PointSea.py:101-104), so
+    this exercises nn_squared_distance's custom VJP inside the model, plus
+    the path-selection gates and SDG_l's previous-stage conditioning."""
+    load_reference_models()
+    import models_PointSea.PointSea as ref_ps
+    import utils.loss_utils as ref_losses
+
+    import jax
+    import jax.numpy as jnp
+
+    from svdformer_pointsea_tpu.losses import get_loss
+    from svdformer_pointsea_tpu.nn import PointSea
+    from svdformer_pointsea_tpu.render.realistic import PCViewsReal
+    from svdformer_pointsea_tpu.train.convert import convert_state_dict
+
+    torch.manual_seed(0)
+    ref_model = ref_ps.Model(pcn_cfg())
+    ref_model.train()
+
+    B, N = 1, 2048
+    pts = make_partial(rng, B, N)
+    depth = np.asarray(PCViewsReal(trans=-0.7).get_img(pts))
+    gt = make_partial(rng, B, 16384)
+
+    preds = ref_model(
+        torch.from_numpy(pts.copy()),
+        torch.from_numpy(depth.transpose(0, 3, 1, 2).copy()),
+    )
+    ref_loss, _ = ref_losses.get_loss(
+        list(preds), torch.from_numpy(gt.copy()), sqrt=True
+    )
+    ref_loss.backward()
+    grad_sd = {
+        k: p.grad.numpy()
+        for k, p in ref_model.named_parameters()
+        if p.grad is not None
+    }
+    ref_gp, _ = convert_state_dict(grad_sd)
+
+    torch.manual_seed(0)
+    fresh = ref_ps.Model(pcn_cfg())
+    params, batch_stats = convert_state_dict(state_dict_numpy(fresh))
+    model = PointSea()
+    jpts, jdepth, jgt = (jnp.asarray(a) for a in (pts, depth, gt))
+
+    def loss_fn(p):
+        outs, _ = model.apply(
+            {"params": p, "batch_stats": batch_stats},
+            jpts,
+            jdepth,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss, _ = get_loss(list(outs), jgt, sqrt=True)
+        return loss
+
+    loss_val, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        jax.tree_util.tree_map(jnp.asarray, params)
+    )
+    np.testing.assert_allclose(float(loss_val), float(ref_loss), rtol=5e-3)
+
+    checked = [0]
+    global_scale = max(
+        np.linalg.norm(np.asarray(l)) for l in jax.tree_util.tree_leaves(grads)
+    )
+
+    def walk(ref_node, our_node, path):
+        if isinstance(ref_node, dict):
+            for k, v in ref_node.items():
+                assert k in our_node, path + (k,)
+                walk(v, our_node[k], path + (k,))
+            return
+        ours = np.asarray(our_node).astype(np.float64)
+        ref = np.asarray(ref_node).astype(np.float64)
+        if path[-2:] == ("ps", "bias"):
+            ours = ours.reshape(-1, 128).sum(1)
+            ref = ref.reshape(-1, 128)[:, 0]
+        rn, on = np.linalg.norm(ref), np.linalg.norm(ours)
+        if rn < 1e-5 * global_scale:
+            assert on < 1e-4 * global_scale + 10 * rn, (path, on, rn)
+            checked[0] += 1
+            return
+        cos = float(np.dot(ref.ravel(), ours.ravel()) / (rn * on + 1e-30))
+        assert cos > 0.995, (path, cos, rn)
+        assert abs(on / rn - 1) < 0.05, (path, on, rn)
+        checked[0] += 1
+
+    walk(ref_gp, grads, ())
+    assert checked[0] > 100
