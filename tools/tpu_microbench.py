@@ -8,6 +8,15 @@ trace — ground truth from the hardware's own counters.
 Usage:
     from tools.tpu_microbench import device_time_ms
     ms = device_time_ms(fn, args, iters=10)
+
+CAVEATS (2026-08-17):
+- ``jax.profiler.trace`` can HANG indefinitely over the axon tunnel
+  (observed after working earlier in the same round). If this tool stalls,
+  fall back to ``chained_time_ms`` below, which needs no profiler.
+- Device-time sums here exclude host/dispatch gaps and may under-attribute
+  Pallas custom calls — treat as a per-op lens, not end-to-end truth
+  (e.g. the full train step measured 82 ms device-only vs 221 ms
+  end-to-end at B12).
 """
 
 from __future__ import annotations
@@ -67,3 +76,36 @@ def device_time_ms(fn, args, iters: int = 10, top: int = 0):
         for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
             print(f"  {v / iters:9.3f} ms/it  {k[:110]}")
     return total / iters
+
+
+def chained_time_ms(fn, args, iters: int = 20) -> float:
+    """Profiler-free device timing: run ``fn`` inside a ``lax.fori_loop``
+    whose body feeds a negligible (1e-30-scaled) probe of the output back
+    into the first argument, so iterations execute serially on device, and
+    difference the wall time of 1 vs 1+iters trips. The probe uses
+    ``jnp.sum`` of the first output leaf so XLA cannot dead-code-eliminate
+    any branch of ``fn``.
+
+    ``args[0]`` must be a float array.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    def loop(k, a):
+        def body(_, a):
+            out = fn(*a)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            probe = jnp.sum(leaf.astype(jnp.float32)) * 1e-30
+            return (a[0] + probe,) + tuple(a[1:])
+
+        return lax.fori_loop(0, k, body, tuple(a))[0].ravel()[0]
+
+    import functools
+    import time
+
+    l1 = jax.jit(functools.partial(loop, 1))
+    lk = jax.jit(functools.partial(loop, 1 + iters))
+    float(l1(args)); float(lk(args))  # compile both
+    t0 = time.time(); float(l1(args)); t1 = time.time()
+    float(lk(args)); t2 = time.time()
+    return ((t2 - t1) - (t1 - t0)) / iters * 1000
