@@ -106,24 +106,59 @@ def _fps_kernel(xyz_ref, out_ref, mind_ref, *, npoint: int, n: int, npad: int):
     lax.fori_loop(1, npoint, body, jnp.zeros((b, 1), jnp.int32), unroll=False)
 
 
+def _fps_batch_plan(B: int, npad: int) -> tuple[int, int]:
+    """(padded batch, chunk) whose VMEM working set fits the 16 MB scoped
+    limit: the kernel keeps coords (3 rows) plus ~7 (chunk, npad) f32
+    temporaries live (mind/d/cand/ids/masks). At (B32, N16384) the
+    un-chunked kernel needed 18.4 MB and failed to compile. Mosaic also
+    requires the block's batch dim to be a multiple of 8 or the whole
+    array, so when no divisor qualifies the batch is zero-padded (padding
+    rows have mag 0 and sample index 0 everywhere — sliced off by the
+    caller)."""
+    cap = max(1, (12 * 1024 * 1024) // (40 * npad))
+    if B <= cap:
+        return B, B
+    best = 0
+    for c in range(8, min(B, cap) + 1, 8):
+        if B % c == 0:
+            best = c
+    if best:
+        return B, best
+    bpad = _round_up(B, 8)
+    best = 8
+    for c in range(8, min(bpad, cap) + 1, 8):
+        if bpad % c == 0:
+            best = c
+    return bpad, best
+
+
 def _fps_pallas(xyz: Array, npoint: int) -> Array:
     B, N, _ = xyz.shape
     npad = _round_up(N, 128)
+    bpad, chunk = _fps_batch_plan(B, npad)
     # Zero padding has mag 0 <= 1e-3, so the reference's origin-skip quirk
     # masks it out for free; the ids<n guard covers degenerate inputs.
-    coords = jnp.zeros((3, B, npad), jnp.float32)
-    coords = coords.at[:, :, :N].set(
+    coords = jnp.zeros((3, bpad, npad), jnp.float32)
+    coords = coords.at[:, :B, :N].set(
         jnp.moveaxis(xyz.astype(jnp.float32), -1, 0)
     )
 
     kernel = functools.partial(_fps_kernel, npoint=npoint, n=N, npad=npad)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((B, npad), jnp.float32)],
+        grid=(bpad // chunk,),
+        in_specs=[
+            pl.BlockSpec(
+                (3, chunk, npad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (chunk, npoint), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bpad, npoint), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((chunk, npad), jnp.float32)],
     )(coords)
+    return out[:B]
 
 
 def furthest_point_sample(xyz: Array, npoint: int) -> Array:

@@ -154,3 +154,17 @@ def test_group_local(rng):
     assert grouped.shape == (2, 40, 6, 3)
     # include_self: nearest neighbour of each point is itself.
     np.testing.assert_array_equal(np.asarray(idx)[:, :, 0], np.arange(40)[None, :].repeat(2, 0))
+
+
+def test_fps_batch_plan_constraints():
+    """Chunked-grid plan: VMEM cap respected, Mosaic's batch-dim rule
+    (multiple of 8 or the whole array) always satisfiable via padding."""
+    from svdformer_pointsea_tpu.ops.fps import _fps_batch_plan
+
+    for B in (1, 5, 7, 9, 12, 16, 24, 31, 32, 64, 128):
+        for npad in (128, 2048, 16384, 65536):
+            bpad, chunk = _fps_batch_plan(B, npad)
+            cap = max(1, 12 * 1024 * 1024 // (40 * npad))
+            assert bpad >= B and bpad % chunk == 0, (B, npad, bpad, chunk)
+            assert chunk == bpad or chunk % 8 == 0, (B, npad, bpad, chunk)
+            assert chunk <= max(cap, 8), (B, npad, bpad, chunk)
