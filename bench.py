@@ -62,7 +62,7 @@ def main() -> None:
     init_depth = render.get_img(init_partial)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), init_partial, init_depth)
 
-    for bs in (8, 16, 32, 64):
+    for bs in (8, 16, 32, 40, 64, 80):
         partial = jnp.asarray(rng.rand(bs, N, 3).astype(np.float32) * 0.5 - 0.25)
         pipeline = make_pipeline(bs)
         try:
