@@ -18,6 +18,7 @@ from pprint import pprint
 from svdformer_pointsea_tpu.configs import (
     Config,
     geospec_config,
+    kitti_config,
     pcn_config,
     shapenet55_config,
 )
@@ -96,6 +97,18 @@ def main_55(argv=None) -> None:
     args = _parser("55").parse_args(argv)
     cfg = shapenet55_config(mode=args.mode or "easy")
     _dispatch(_apply_overrides(cfg, args), args, mode=args.mode)
+
+
+def main_kitti(argv=None) -> None:
+    """KITTI cars zero-shot eval (no trainer — eval-only track; the
+    reference ships only the index, datasets/KITTI.json). Requires
+    --weights of a PCN-trained model; always evaluates."""
+    logging.basicConfig(
+        format="[%(levelname)s] %(asctime)s %(message)s", level=logging.DEBUG
+    )
+    args = _parser("kitti").parse_args(argv)
+    args.test = True  # eval-only track
+    _dispatch(_apply_overrides(kitti_config(), args), args)
 
 
 def main_geospec(argv=None) -> None:

@@ -6,8 +6,10 @@ from svdformer_pointsea_tpu.configs.base import (
     NetworkConfig,
     TrainConfig,
     geospec_config,
+    kitti_config,
     pcn_config,
     pointsea_config,
+    shapenet34_config,
     shapenet55_config,
 )
 
@@ -18,6 +20,8 @@ __all__ = [
     "TrainConfig",
     "pcn_config",
     "shapenet55_config",
+    "shapenet34_config",
+    "kitti_config",
     "geospec_config",
     "pointsea_config",
 ]

@@ -32,12 +32,15 @@ class NetworkConfig:
 class DataConfig:
     """Dataset paths and parameters (config_pcn.py:9-15 / config_55.py:9-13)."""
 
-    name: str = "ShapeNet"  # 'ShapeNet' (PCN) or 'ShapeNet55'
+    name: str = "ShapeNet"  # 'ShapeNet' (PCN) | 'ShapeNet55' | 'KITTI'
     category_file: str = "datasets/ShapeNet.json"
     n_renderings: int = 8
     n_points: int = 2048
     partial_points_path: str = "./dataset/PCN/%s/partial/%s/%s/%02d.pcd"
     complete_points_path: str = "./dataset/PCN/%s/complete/%s/%s.pcd"
+    # KITTI cars zero-shot track only (datasets/KITTI.json): per-car bbox
+    # txt used by NormalizeObjectPose (utils/data_transforms.py:248-272).
+    bbox_path: str = "./dataset/KITTI/bboxes/%s.txt"
     gt_points: int = 16384  # complete cloud size (8192 for ShapeNet-55)
     # ShapeNet-55 eval crop mode: 'easy' | 'median' | 'hard'.
     mode: str = "easy"
@@ -123,6 +126,46 @@ def shapenet55_config(mode: str = "easy", adv: bool = False) -> Config:
             adv_enabled=adv,
         ),
         out_path="out/svdformer_55",
+    )
+
+
+def shapenet34_config(unseen: bool = False, mode: str = "easy", adv: bool = False) -> Config:
+    """SVDFormer on ShapeNet-34 (or its Unseen-21 test split).
+
+    Identical to the 55 track except for the index-file directory — the
+    reference switches splits purely via CATEGORY_FILE_PATH
+    (README:61-63): ShapeNet34 trains on 34 seen categories;
+    ShapeNet-Unseen21 evaluates that model on the 21 held-out ones.
+    """
+    cfg = shapenet55_config(mode=mode, adv=adv)
+    return cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            category_file=(
+                "datasets/ShapeNet-Unseen21" if unseen else "datasets/ShapeNet34"
+            ),
+        ),
+        out_path="out/svdformer_34",
+    )
+
+
+def kitti_config() -> Config:
+    """KITTI cars zero-shot evaluation (datasets/KITTI.json, 2,401 real
+    LiDAR car scans; no ground truth). Uses a PCN-trained model: partial in
+    -> completion out, with the reference's NormalizeObjectPose bbox
+    normalization (utils/data_transforms.py:248-272). The reference ships
+    the index and the transform but no loader (SURVEY.md §2 #31); this
+    track completes the path.
+    """
+    return Config(
+        data=DataConfig(
+            name="KITTI",
+            category_file="datasets/KITTI.json",
+            partial_points_path="./dataset/KITTI/cars/%s.pcd",
+            bbox_path="./dataset/KITTI/bboxes/%s.txt",
+            n_renderings=1,
+        ),
+        out_path="out/svdformer_kitti",
     )
 
 

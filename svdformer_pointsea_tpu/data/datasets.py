@@ -151,9 +151,75 @@ class ShapeNet55Dataset:
         return s.taxonomy_id, s.model_id, {"gtcloud": gt}
 
 
+class KITTIDataset:
+    """KITTI cars zero-shot evaluation set (datasets/KITTI.json — 2,401 real
+    LiDAR car scans, no ground truth).
+
+    The reference ships the index and the NormalizeObjectPose transform
+    (utils/data_transforms.py:248-272) but no loader; the layout follows the
+    PCN-paper KITTI release: ``cars/<id>.pcd`` partial scans +
+    ``bboxes/<id>.txt`` 8-corner boxes. Each sample is pose-normalized into
+    the canonical frame, then sampled to ``n_points`` — ready for a
+    PCN-trained model.
+    """
+
+    def __init__(self, cfg: Config, subset: str = "test", seed: int = 0):
+        self.cfg = cfg
+        self.rng = np.random.RandomState(seed)
+        with open(cfg.data.category_file) as f:
+            categories = json.load(f)
+        self.samples: List[Sample] = []
+        for dc in categories:
+            for s in dc.get("test", []):
+                self.samples.append(
+                    Sample(
+                        dc["taxonomy_id"],
+                        s,
+                        [cfg.data.partial_points_path % s],
+                        cfg.data.bbox_path % s,  # gt_path slot carries the bbox
+                    )
+                )
+        logging.info("Indexed %d KITTI samples", len(self.samples))
+        self.transforms = Compose(
+            [
+                {
+                    "callback": "NormalizeObjectPose",
+                    "parameters": {
+                        "input_keys": {
+                            "ptcloud": "partial_cloud",
+                            "bbox": "bounding_box",
+                        }
+                    },
+                    "objects": ["partial_cloud", "bounding_box"],
+                },
+                {
+                    "callback": "RandomSamplePoints",
+                    "parameters": {"n_points": cfg.data.n_points},
+                    "objects": ["partial_cloud"],
+                },
+                {"callback": "ToArray", "objects": ["partial_cloud"]},
+            ],
+            self.rng,
+        )
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int):
+        s = self.samples[idx]
+        data = {
+            "partial_cloud": IO.get(s.partial_paths[0]).astype(np.float32),
+            "bounding_box": IO.get(s.gt_path).astype(np.float32),
+        }
+        data = self.transforms(data)
+        data.pop("bounding_box", None)
+        return s.taxonomy_id, s.model_id, data
+
+
 DATASET_MAPPING = {
     "ShapeNet": PCNDataset,
     "ShapeNet55": ShapeNet55Dataset,
+    "KITTI": KITTIDataset,
 }
 
 

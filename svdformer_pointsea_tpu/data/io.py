@@ -143,6 +143,80 @@ def write_pcd(file_path: str, points: np.ndarray) -> None:
         np.savetxt(f, points, fmt="%.8g")
 
 
+# ---------------------------------------------------------------------------
+# Optional byte-cache layer — capability parity with the reference's
+# memcached client path (utils/io.py:17-24, 60-88). The reference fetches
+# raw file bytes from a SenseTime-internal ``mc`` client and decodes them
+# in-process; here any object with ``get(path) -> bytes | None`` /
+# ``put(path, bytes)`` can be installed via :func:`set_byte_cache` (e.g. a
+# real memcached/redis client wrapper), and :class:`LocalByteCache` provides
+# an in-process LRU for hot files on slow network filesystems.
+# ---------------------------------------------------------------------------
+
+_byte_cache = None
+
+
+def set_byte_cache(cache) -> None:
+    """Install a byte cache with ``get(path)->bytes|None`` and
+    ``put(path, bytes)`` (None disables). IO.get decodes npy/pcd/png/jpg
+    from cached bytes, reading and populating on miss."""
+    global _byte_cache
+    _byte_cache = cache
+
+
+class LocalByteCache:
+    """In-process LRU byte cache (bounded by total bytes)."""
+
+    def __init__(self, capacity_bytes: int = 1 << 30):
+        import collections
+
+        self.capacity = capacity_bytes
+        self.size = 0
+        self._d = collections.OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, path: str):
+        with self._lock:
+            if path in self._d:
+                self._d.move_to_end(path)
+                return self._d[path]
+        return None
+
+    def put(self, path: str, data: bytes) -> None:
+        with self._lock:
+            if path in self._d:
+                self.size -= len(self._d.pop(path))
+            self._d[path] = data
+            self.size += len(data)
+            while self.size > self.capacity and self._d:
+                _, old = self._d.popitem(last=False)
+                self.size -= len(old)
+
+
+def _cached_bytes(file_path: str) -> bytes:
+    data = _byte_cache.get(file_path)
+    if data is None:
+        with open(file_path, "rb") as f:
+            data = f.read()
+        _byte_cache.put(file_path, data)
+    return data
+
+
+def read_exr_depth(file_path: str) -> np.ndarray:
+    """Inverse EXR depth (utils/io.py:91-92 — ``1.0 / Depth.Z``; the
+    reference ships this commented out / pyexr-based; we decode via OpenCV's
+    OpenEXR backend)."""
+    os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+    import cv2
+
+    img = cv2.imread(file_path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+    if img is None:
+        raise ValueError(f"could not decode EXR (OpenEXR support?): {file_path}")
+    if img.ndim == 3:
+        img = img[..., 0]
+    return 1.0 / img.astype(np.float32)
+
+
 class IO:
     """Extension-dispatched reader (utils/io.py:28-45 surface)."""
 
@@ -152,10 +226,32 @@ class IO:
         if ext in (".png", ".jpg"):
             import cv2
 
+            if _byte_cache is not None:
+                buf = np.frombuffer(_cached_bytes(file_path), np.uint8)
+                return cv2.imdecode(buf, cv2.IMREAD_UNCHANGED) / 255.0
             return cv2.imread(file_path, cv2.IMREAD_UNCHANGED) / 255.0
         if ext == ".npy":
+            if _byte_cache is not None:
+                import io as _io
+
+                return np.load(_io.BytesIO(_cached_bytes(file_path)))
             return np.load(file_path)
+        if ext == ".exr":
+            return read_exr_depth(file_path)
         if ext == ".pcd":
+            if _byte_cache is not None:
+                import io as _io
+
+                data = _cached_bytes(file_path)
+                import tempfile
+
+                # PCD can be binary/compressed; decode via the same parsers
+                # by round-tripping the cached bytes through a temp file
+                # (parse cost is identical; the cache saves the disk read).
+                with tempfile.NamedTemporaryFile(suffix=".pcd") as tf:
+                    tf.write(data)
+                    tf.flush()
+                    return read_pcd(tf.name)
             return read_pcd(file_path)
         if ext == ".h5":
             import h5py

@@ -89,11 +89,16 @@ class Loader:
         sentinel = object()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for chunk in batches:
-                    samples = list(pool.map(self.dataset.__getitem__, chunk))
-                    q.put(self._collate(samples))
-            q.put(sentinel)
+            # A producer-side exception must reach the consumer: a silently
+            # dead producer would leave q.get() blocked forever.
+            try:
+                with ThreadPoolExecutor(max(1, self.num_workers)) as pool:
+                    for chunk in batches:
+                        samples = list(pool.map(self.dataset.__getitem__, chunk))
+                        q.put(self._collate(samples))
+                q.put(sentinel)
+            except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+                q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -101,6 +106,8 @@ class Loader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def _collate(self, samples) -> Batch:

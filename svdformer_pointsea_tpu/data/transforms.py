@@ -88,9 +88,13 @@ def normalize_object_pose(
 ) -> tuple[np.ndarray, np.ndarray]:
     """KITTI-style bbox pose normalization (utils/data_transforms.py:248-272).
 
-    Returns (normalized ptcloud, normalized bbox) — the reference mutates
-    the sample's bbox in place (centered, rotated, unit-scaled); we return
-    it so Compose can store it back.
+    Returns (normalized ptcloud, normalized bbox). Deliberate delta from the
+    reference: there, only the *centering* writes back to the sample's bbox —
+    ``bbox = np.dot(bbox, rotation)`` rebinds the local, so the rotation and
+    unit-scale are silently dropped from the stored bbox (an accidental
+    rebind; nothing downstream reads the bbox, so it is unobservable there).
+    We store the fully normalized bbox, which is what the code plainly
+    intends. The returned *point cloud* matches the reference exactly.
     """
     bbox = bbox.copy().astype(np.float64)
     center = (bbox.min(0) + bbox.max(0)) / 2

@@ -31,34 +31,49 @@ Array = jax.Array
 _SQRT_EPS = 1e-12
 
 
-def chamfer(p1: Array, p2: Array) -> Array:
+def _batch_mean(d: Array, weights: Array | None) -> Array:
+    """Mean over (B, N) distances; with ``weights`` (B,), a weighted mean of
+    per-sample means — pad rows (weight 0) contribute nothing, real rows get
+    exactly the unpadded batch-mean semantics."""
+    if weights is None:
+        return jnp.mean(d)
+    per = jnp.mean(d, axis=1)
+    return jnp.sum(per * weights) / jnp.sum(weights)
+
+
+def chamfer(p1: Array, p2: Array, weights: Array | None = None) -> Array:
     """mean(d1) + mean(d2) over squared distances (CD-L2-style sum)."""
     d1, d2, _, _ = chamfer_distance(p1, p2)
-    return jnp.mean(d1) + jnp.mean(d2)
+    return _batch_mean(d1, weights) + _batch_mean(d2, weights)
 
 
-def chamfer_sqrt(p1: Array, p2: Array) -> Array:
+def chamfer_sqrt(p1: Array, p2: Array, weights: Array | None = None) -> Array:
     """(mean(sqrt d1) + mean(sqrt d2)) / 2 (CD-L1-style)."""
     d1, d2, _, _ = chamfer_distance(p1, p2)
-    return (jnp.mean(jnp.sqrt(d1 + _SQRT_EPS)) + jnp.mean(jnp.sqrt(d2 + _SQRT_EPS))) / 2
+    return (
+        _batch_mean(jnp.sqrt(d1 + _SQRT_EPS), weights)
+        + _batch_mean(jnp.sqrt(d2 + _SQRT_EPS), weights)
+    ) / 2
 
 
-def chamfer_single_side(p1: Array, p2: Array) -> Array:
+def chamfer_single_side(p1: Array, p2: Array, weights: Array | None = None) -> Array:
     d1, _, _, _ = chamfer_distance(p1, p2)
-    return jnp.mean(d1)
+    return _batch_mean(d1, weights)
 
 
-def chamfer_single_side_sqrt(p1: Array, p2: Array) -> Array:
+def chamfer_single_side_sqrt(p1: Array, p2: Array, weights: Array | None = None) -> Array:
     d1, _, _, _ = chamfer_distance(p1, p2)
-    return jnp.mean(jnp.sqrt(d1 + _SQRT_EPS))
+    return _batch_mean(jnp.sqrt(d1 + _SQRT_EPS), weights)
 
 
-def get_loss(pcds_pred, gt: Array, sqrt: bool = True, alpha1: float = 1.0, alpha2: float = 1.0):
+def get_loss(pcds_pred, gt: Array, sqrt: bool = True, alpha1: float = 1.0, alpha2: float = 1.0,
+             weights: Array | None = None):
     """Pyramid chamfer loss (utils/loss_utils.py:33-58).
 
     Args:
         pcds_pred: (Pc, P1, P2) predicted clouds, channels-last.
         gt: (B, M, 3) complete cloud.
+        weights: optional (B,) row weights — pad rows (0.0) are masked out.
     Returns:
         (loss_total, [cdc, cd1, cd2])
     """
@@ -66,23 +81,24 @@ def get_loss(pcds_pred, gt: Array, sqrt: bool = True, alpha1: float = 1.0, alpha
     pc, p1, p2 = pcds_pred
     gt_1 = fps_subsample(gt, p1.shape[1])
     gt_c = fps_subsample(gt_1, pc.shape[1])
-    cdc = cd(pc, gt_c)
-    cd1 = cd(p1, gt_1)
-    cd2 = cd(p2, gt)
+    cdc = cd(pc, gt_c, weights)
+    cd1 = cd(p1, gt_1, weights)
+    cd2 = cd(p2, gt, weights)
     return cdc + alpha1 * cd1 + alpha2 * cd2, [cdc, cd1, cd2]
 
 
-def get_loss_pm(pcds_pred, partial: Array, gt: Array, sqrt: bool = True):
+def get_loss_pm(pcds_pred, partial: Array, gt: Array, sqrt: bool = True,
+                weights: Array | None = None):
     """Pyramid loss + partial matching term (utils/loss_utils.py:60-85)."""
     cd = chamfer_sqrt if sqrt else chamfer
     pm = chamfer_single_side_sqrt if sqrt else chamfer_single_side
     pc, p1, p2 = pcds_pred
     gt_1 = fps_subsample(gt, p1.shape[1])
     gt_c = fps_subsample(gt_1, pc.shape[1])
-    cdc = cd(pc, gt_c)
-    cd1 = cd(p1, gt_1)
-    cd2 = cd(p2, gt)
-    partial_matching = pm(partial, p2)
+    cdc = cd(pc, gt_c, weights)
+    cd1 = cd(p1, gt_1, weights)
+    cd2 = cd(p2, gt, weights)
+    partial_matching = pm(partial, p2, weights)
     return cdc + cd1 + cd2 + partial_matching, [cdc, cd1, cd2]
 
 

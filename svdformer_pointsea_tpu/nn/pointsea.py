@@ -68,8 +68,10 @@ class PointSeaSDG(linen.Module):
         g = linen.Dense(ch, name="conv_1")(jax.nn.gelu(g, approximate=False))
         F = jnp.concatenate([F, jnp.broadcast_to(g, (B, N, ch))], axis=-1)
 
-        # Differentiable, as in models_PointSea/PointSea.py's SDG (the
-        # reference does not detach the distance).
+        # The distance feeds only the sinusoidal embedding, which detaches
+        # (models_PointSea/model_utils.py:612; our stop_gradient in
+        # SinusoidalPositionalEmbedding) — identical gradient story to the
+        # SVDFormer SDG: no gradient flows through this chamfer.
         half_cd = nn_squared_distance(coarse, partial) / self.sigma
         emb = SinusoidalPositionalEmbedding(hidden, name="embedding")(half_cd)
         pos = jnp.swapaxes(emb.reshape(B, hidden, N), 1, 2)

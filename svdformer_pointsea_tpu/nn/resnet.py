@@ -39,7 +39,14 @@ _TRUNK_BF16 = False
 
 
 def set_trunk_bf16(enabled: bool) -> None:
-    """Trace-time switch for bf16 eval-mode compute in the image trunks."""
+    """Trace-time switch for bf16 eval-mode compute in the image trunks.
+
+    Must be called BEFORE the first trace of any function using the trunks:
+    jit caches key on function identity, not on this flag, so flipping it
+    later silently leaves already-compiled executables at the old precision
+    (same caveat as ``nn.set_flash_attention``). Clear caches (``.clear_cache()``
+    or a fresh process) to change it mid-session.
+    """
     global _TRUNK_BF16
     _TRUNK_BF16 = enabled
 

@@ -168,9 +168,10 @@ class SDG(linen.Module):
         F = jnp.concatenate([F, jnp.broadcast_to(g, (B, N, ch))], axis=-1)
 
         # Structure analysis: squared NN distance to the partial input, scaled
-        # by sigma, sinusoidally embedded. Differentiable — the reference's
-        # chamfer_3DDist backward feeds gradients into coarse/partial here
-        # (models/SVDFormer.py:75).
+        # by sigma, sinusoidally embedded. The distance feeds ONLY the
+        # embedding, which detaches (models/model_utils.py:908; our
+        # stop_gradient in SinusoidalPositionalEmbedding) — so no gradient
+        # flows through this chamfer, matching the reference.
         half_cd = nn_squared_distance(coarse, partial) / self.sigma
         emb = SinusoidalPositionalEmbedding(hidden, name="embedding")(half_cd)
         # Reference reinterprets (B, N, hidden) memory as (B, hidden, N) then

@@ -33,7 +33,7 @@ from svdformer_pointsea_tpu.ops.grouping import (
     group_local,
 )
 from svdformer_pointsea_tpu.ops.metrics import fscore, density_aware_chamfer
-from svdformer_pointsea_tpu.ops.emd import earth_mover_distance
+from svdformer_pointsea_tpu.ops.emd import earth_mover_distance, emd_unassigned
 
 __all__ = [
     "square_distance",
@@ -59,4 +59,5 @@ __all__ = [
     "fscore",
     "density_aware_chamfer",
     "earth_mover_distance",
+    "emd_unassigned",
 ]

@@ -138,10 +138,24 @@ def earth_mover_distance(xyz1: Array, xyz2: Array, eps: float = 0.005, iters: in
         eps: price-increment slack (accuracy/speed tradeoff).
         iters: max auction iterations.
     Returns:
-        dist: (B, n) squared matched distances.
+        dist: (B, n) squared matched distances. NOTE: rows left unassigned
+            when ``iters`` exhausts before the auction converges get
+            dist=0, which *understates* EMD (the reference CUDA kernel
+            returns the partial assignment the same way). Check
+            ``emd_unassigned(assignment)`` when honesty matters — at the
+            reference eval operating point (eps=0.002, iters=10000,
+            metrics/EMD/README.md:7) it should be 0.
         assignment: (B, n) int32 match index into xyz2 (-1 if unassigned).
     """
     return _emd_forward(xyz1, xyz2, eps, iters)
+
+
+def emd_unassigned(assignment: Array) -> Array:
+    """Per-sample count of points the auction left unmatched (B,).
+
+    Nonzero means ``earth_mover_distance``'s dist underestimates the true
+    EMD for that sample — raise ``iters`` or ``eps``."""
+    return jnp.sum((assignment < 0).astype(jnp.int32), axis=1)
 
 
 def _emd_forward(xyz1, xyz2, eps, iters):

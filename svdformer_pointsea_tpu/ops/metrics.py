@@ -37,10 +37,13 @@ def _bincount_gather(idx: Array, length: int) -> Array:
 
     idx: (B, K) int32 values in [0, length). Returns (B, K) float32.
     """
-    B = idx.shape[0]
-    bidx = jnp.broadcast_to(jnp.arange(B)[:, None], idx.shape)
-    counts = jnp.zeros((B, length), jnp.float32).at[bidx, idx].add(1.0)
-    return jnp.take_along_axis(counts, idx, axis=1)
+    # Flattened single-axis scatter/gather: the batched (bidx, idx) form
+    # lowers to a per-row scatter that ops/grouping.py:39-47 measured 2.5x
+    # slower than collapsing the batch into the row index.
+    B, K = idx.shape
+    flat = (idx.astype(jnp.int32) + jnp.arange(B, dtype=jnp.int32)[:, None] * length).reshape(-1)
+    counts = jnp.zeros((B * length,), jnp.float32).at[flat].add(1.0)
+    return counts[flat].reshape(B, K)
 
 
 def density_aware_chamfer(

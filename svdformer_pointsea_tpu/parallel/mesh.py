@@ -33,14 +33,41 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
 
 
 def make_mesh_for_batch(batch_size: int) -> Mesh:
-    """Mesh over the largest device prefix whose size divides ``batch_size``
-    (the fixed-shape analogue of DataParallel's uneven scatter — we instead
-    keep shards even by shrinking the mesh)."""
+    """Mesh over ALL devices. When ``batch_size`` does not divide the device
+    count the caller pads the batch with :func:`pad_batch` (pad rows carry
+    zero loss weight) — every chip stays busy, unlike the previous policy of
+    silently shrinking the mesh, and unlike the reference's uneven
+    DataParallel scatter (core/train_pcn.py:54)."""
     devices = jax.devices()
     n = len(devices)
-    while n > 1 and batch_size % n != 0:
-        n -= 1
-    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+    if batch_size % n != 0:
+        import logging
+
+        logging.info(
+            "batch %d not divisible by %d devices: padding to %d "
+            "(pad rows masked out of the loss)",
+            batch_size, n, -(-batch_size // n) * n,
+        )
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def pad_batch(batch: Any, mesh: Mesh) -> tuple[Any, np.ndarray]:
+    """Pad every leaf's leading (batch) axis up to a multiple of the mesh
+    size by repeating rows cyclically, and return ``(padded, weights)``
+    where ``weights`` is 1.0 for real rows and 0.0 for pads — feed it to the
+    loss so pad rows contribute nothing (the fixed-shape, exact-loss
+    alternative to DataParallel's uneven scatter)."""
+    n = mesh.devices.size
+    leaves = jax.tree_util.tree_leaves(batch)
+    b = leaves[0].shape[0]
+    target = -(-b // n) * n
+    weights = np.zeros((target,), np.float32)
+    weights[:b] = 1.0
+    if target == b:
+        return batch, weights
+    idx = np.arange(target) % b
+    padded = jax.tree_util.tree_map(lambda x: x[idx], batch)
+    return padded, weights
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -165,14 +165,16 @@ class PCViews:
         self.translation = np.asarray(
             [[0.0, 0.0, trans]] * 3, np.float32
         ).reshape(3, 1, 3)
-        self._get_img = jax.jit(
-            functools.partial(
-                _pcviews_render,
-                rot=jnp.asarray(self.rot),
-                translation=jnp.asarray(self.translation),
-                resolution=resolution,
-            )
+        # ``render`` is the pure function — safe to call inside another
+        # jitted computation (the fused train/eval steps do); ``get_img``
+        # is the host-facing jitted dispatch of the same function.
+        self.render = functools.partial(
+            _pcviews_render,
+            rot=jnp.asarray(self.rot),
+            translation=jnp.asarray(self.translation),
+            resolution=resolution,
         )
+        self._get_img = jax.jit(self.render)
 
     def get_img(self, points: Array) -> Array:
         """points (B, P, 3) -> depth images (B, 3, H, W)."""

@@ -163,15 +163,16 @@ class PCViewsReal:
             sigma=PARAMS["convsigmaxy"],
             zsigma=PARAMS["convsigmaz"],
         )
-        self._get_img = jax.jit(
-            functools.partial(
-                _real_render,
-                rot=jnp.asarray(self.rot),
-                rot_bias=jnp.asarray(self.rot_bias),
-                translation=jnp.asarray(self.translation),
-                kernel=jnp.asarray(kernel),
-            )
+        # ``render`` is the pure function (jit-safe inside a fused step);
+        # ``get_img`` is its host-facing jitted dispatch.
+        self.render = functools.partial(
+            _real_render,
+            rot=jnp.asarray(self.rot),
+            rot_bias=jnp.asarray(self.rot_bias),
+            translation=jnp.asarray(self.translation),
+            kernel=jnp.asarray(kernel),
         )
+        self._get_img = jax.jit(self.render)
 
     def get_img(self, points: Array) -> Array:
         """points (B, P, 3) -> images (B*3, H, W, 3), batch-major view-minor."""

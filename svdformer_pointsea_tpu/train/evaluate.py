@@ -44,7 +44,7 @@ def make_pcn_eval_fn(model, render: PCViews):
 
     @jax.jit
     def fn(variables, partial, gt):
-        depth = render._get_img(partial)
+        depth = render.render(partial)
         preds = model.apply(variables, partial, depth, train=False)
         cd, dcd, f1 = _per_sample_metrics(preds[-1], gt, sqrt_cd=True)
         return jnp.stack([cd, dcd, f1])
@@ -94,17 +94,23 @@ def eval_pcn(
 
 
 def make_55_eval_fn(model, render: PCViews, num_crop: int, n_sample: int = 2048):
-    """Jitted (variables, gt, corner(B,3)) -> stacked (3, B) metrics for one
-    fixed-corner crop (core/test_55.py:71-82)."""
+    """Jitted (variables, gt, corners(V,3)) -> (V, 3, B) metrics: ALL fixed
+    corner viewpoints of core/test_55.py:51-82 in ONE dispatch per batch
+    (``lax.map`` over corners — sequential on device, so peak memory stays
+    at single-corner level while host dispatch count drops 8x)."""
 
-    @functools.partial(jax.jit)
-    def fn(variables, gt, corner):
-        partial, _ = crop_fixed(gt, corner, num_crop)
-        partial = fps_subsample(partial, n_sample)
-        depth = render._get_img(partial)
-        preds = model.apply(variables, partial, depth, train=False)
-        cd, dcd, f1 = _per_sample_metrics(preds[-1], gt, sqrt_cd=False)
-        return jnp.stack([cd, dcd, f1])
+    @jax.jit
+    def fn(variables, gt, corners):
+        def one_corner(corner):
+            c = jnp.broadcast_to(corner, (gt.shape[0], 3))
+            partial, _ = crop_fixed(gt, c, num_crop)
+            partial = fps_subsample(partial, n_sample)
+            depth = render.render(partial)
+            preds = model.apply(variables, partial, depth, train=False)
+            cd, dcd, f1 = _per_sample_metrics(preds[-1], gt, sqrt_cd=False)
+            return jnp.stack([cd, dcd, f1])
+
+        return jax.lax.map(one_corner, corners)
 
     return fn
 
@@ -132,15 +138,13 @@ def eval_55(
 
     category_metrics: Dict[str, AverageMeter] = {}
     test_metrics = AverageMeter(METRIC_NAMES)
-    corners = FIXED_CORNERS[:n_viewpoints]
+    corners = jnp.asarray(FIXED_CORNERS[:n_viewpoints])
     for batch in loader:
         gt = jnp.asarray(batch.data["gtcloud"])
-        B = gt.shape[0]
-        for corner in corners:
-            c = jnp.broadcast_to(jnp.asarray(corner), (B, 3))
-            m = np.asarray(eval_fn(variables, gt, c))
+        m = np.asarray(eval_fn(variables, gt, corners))  # (V, 3, B)
+        for v in range(m.shape[0]):
             for i in range(batch.valid):
-                vals = [float(m[0, i]), float(m[1, i]), float(m[2, i])]
+                vals = [float(m[v, 0, i]), float(m[v, 1, i]), float(m[v, 2, i])]
                 tax = batch.taxonomy_ids[i]
                 if tax not in category_metrics:
                     category_metrics[tax] = AverageMeter(METRIC_NAMES)
@@ -152,6 +156,62 @@ def eval_55(
         for i, name in enumerate(METRIC_NAMES):
             logger.add_scalar(f"Test/{name}", test_metrics.avg(i), epoch)
     return test_metrics.avg(0)
+
+
+def make_kitti_eval_fn(model, render: PCViews):
+    """Jitted (variables, partial) -> (preds (B,N,3), fidelity (B,)).
+
+    Fidelity (PCN-paper KITTI metric): mean distance from each input point
+    to its nearest neighbour in the completion — computable without ground
+    truth. Consistency (frame-to-frame) needs tracklet pairing and is out of
+    scope, as in the reference (which ships no KITTI loader at all)."""
+    from svdformer_pointsea_tpu.ops import nn_squared_distance
+
+    @jax.jit
+    def fn(variables, partial):
+        depth = render.render(partial)
+        preds = model.apply(variables, partial, depth, train=False)
+        fidelity = jnp.sqrt(nn_squared_distance(partial, preds[-1])).mean(axis=1)
+        return preds[-1], fidelity
+
+    return fn
+
+
+def eval_kitti(
+    cfg: Config,
+    model,
+    variables,
+    loader,
+    out_dir: Optional[str] = None,
+) -> float:
+    """KITTI cars zero-shot track: pose-normalized partial in -> completion
+    out; reports fidelity and optionally saves each completion as
+    ``<out_dir>/<model_id>.pcd``. Returns mean fidelity."""
+    import os
+
+    render = make_renderer(cfg)
+    eval_fn = make_kitti_eval_fn(model, render)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        from svdformer_pointsea_tpu.data import write_pcd
+
+    meter = AverageMeter(["fidelity"])
+    for batch in loader:
+        preds, fid = eval_fn(
+            variables, jnp.asarray(batch.data["partial_cloud"])
+        )
+        preds, fid = np.asarray(preds), np.asarray(fid)
+        for i in range(batch.valid):
+            meter.update([float(fid[i])])
+            if out_dir:
+                write_pcd(
+                    os.path.join(out_dir, f"{batch.model_ids[i]}.pcd"), preds[i]
+                )
+    logging.info(
+        "KITTI cars: %d samples, mean fidelity %.6f", meter.count(0), meter.avg(0)
+    )
+    print(f"KITTI\t{meter.count(0)}\tfidelity\t{meter.avg(0):.6f}")
+    return meter.avg(0)
 
 
 def _print_category_table(

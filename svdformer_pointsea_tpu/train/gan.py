@@ -31,7 +31,12 @@ from svdformer_pointsea_tpu.configs import Config
 from svdformer_pointsea_tpu.data import Loader, make_dataset
 from svdformer_pointsea_tpu.losses import get_loss_pm
 from svdformer_pointsea_tpu.nn import PointDiscriminator
-from svdformer_pointsea_tpu.parallel import make_mesh_for_batch, replicated_sharding, shard_batch
+from svdformer_pointsea_tpu.parallel import (
+    make_mesh_for_batch,
+    pad_batch,
+    replicated_sharding,
+    shard_batch,
+)
 from svdformer_pointsea_tpu.render import PCViews
 from svdformer_pointsea_tpu.train.checkpoint import CheckpointManager, restore_checkpoint
 from svdformer_pointsea_tpu.train.evaluate import eval_pcn
@@ -52,10 +57,15 @@ class GANTrainState(flax.struct.PyTreeNode):
     d_opt_state: Any
 
 
-def _bce_logits(logits: Array, target: float) -> Array:
-    """BCEWithLogits against a constant target (train_geospec.py:110-130)."""
+def _bce_logits(logits: Array, target: float, weights: Array | None = None) -> Array:
+    """BCEWithLogits against a constant target (train_geospec.py:110-130).
+    ``weights`` (B,) masks pad rows out of the batch mean."""
     t = jnp.full_like(logits, target)
-    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, t))
+    bce = optax.sigmoid_binary_cross_entropy(logits, t)
+    if weights is None:
+        return jnp.mean(bce)
+    per = bce.reshape(bce.shape[0], -1).mean(axis=1)
+    return jnp.sum(per * weights) / jnp.sum(weights)
 
 
 def create_gan_state(cfg: Config, seed: int = 1):
@@ -85,23 +95,35 @@ def create_gan_state(cfg: Config, seed: int = 1):
     return g_model, d_model, g_opt, d_opt, state
 
 
-def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float):
-    """Jitted (state, partial, depth, gt, g_lr, d_lr) -> (state, metrics)."""
+def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float,
+                        render_fn=None):
+    """Jitted GAN step, single generator forward (the reference computes
+    ``pcds_pred`` once and reuses it for both D's fake and G's loss,
+    core/train_geospec.py:105-130 — we mirror that via ``jax.vjp``: one
+    generator forward, one generator backward, with the loss-side gradient
+    pulled back through the saved linearization).
 
-    def g_forward(g_params, g_bs, partial, depth):
-        return g_model.apply(
-            {"params": g_params, "batch_stats": g_bs},
-            partial,
-            depth,
-            train=True,
-            mutable=["batch_stats"],
-        )
+    signature: ``(state, partial, depth, gt, g_lr, d_lr)``; with
+    ``render_fn`` set, depth is rendered inside the step and the signature
+    drops it: ``(state, partial, gt, g_lr, d_lr)``.
+    """
 
-    def step_fn(state: GANTrainState, partial, depth, gt, g_lr, d_lr):
+    def step_fn(state: GANTrainState, partial, depth, gt, g_lr, d_lr, weights=None):
+        # ---- single generator forward (with saved linearization) -------
+        def g_forward(g_params):
+            preds, mutated = g_model.apply(
+                {"params": g_params, "batch_stats": state.g_batch_stats},
+                partial,
+                depth,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return tuple(preds), mutated["batch_stats"]
+
+        preds, g_vjp, g_bs = jax.vjp(g_forward, state.g_params, has_aux=True)
+        p2_fake = jax.lax.stop_gradient(preds[-1])
+
         # ---- D phase: real vs stop_grad(fake) --------------------------
-        preds0, _ = g_forward(state.g_params, state.g_batch_stats, partial, depth)
-        p2_fake = jax.lax.stop_gradient(preds0[-1])
-
         def d_loss_fn(d_params):
             dvar = {"params": d_params, "batch_stats": state.d_batch_stats}
             real_logits, mut_r = d_model.apply(
@@ -111,7 +133,9 @@ def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float):
             fake_logits, mut_f = d_model.apply(
                 dvar, p2_fake, train=True, mutable=["batch_stats"]
             )
-            loss = _bce_logits(real_logits, 1.0) + _bce_logits(fake_logits, 0.0)
+            loss = _bce_logits(real_logits, 1.0, weights) + _bce_logits(
+                fake_logits, 0.0, weights
+            )
             return loss, mut_f["batch_stats"]
 
         (d_loss, d_bs), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -121,21 +145,22 @@ def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float):
         d_updates, d_opt_state = d_opt.update(d_grads, d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
-        # ---- G phase: recon + GAN term against the updated D -----------
-        def g_loss_fn(g_params):
-            preds, mutated = g_forward(g_params, state.g_batch_stats, partial, depth)
-            recon, parts = get_loss_pm(preds, partial, gt, sqrt=True)
+        # ---- G phase: recon + GAN term against the updated D, gradients
+        # pulled back through the single forward's vjp ------------------
+        def loss_on_preds(preds_in):
+            recon, parts = get_loss_pm(preds_in, partial, gt, sqrt=True, weights=weights)
             fake_logits = d_model.apply(
                 {"params": d_params, "batch_stats": d_bs},
-                preds[-1],
+                preds_in[-1],
                 train=False,
             )
-            gan = _bce_logits(fake_logits, 1.0)
-            return recon + gan_weight * gan, (parts, recon, gan, mutated["batch_stats"])
+            gan = _bce_logits(fake_logits, 1.0, weights)
+            return recon + gan_weight * gan, (parts, recon, gan)
 
-        (g_loss, (parts, recon, gan, g_bs)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.g_params)
+        (g_loss, (parts, recon, gan)), dpreds = jax.value_and_grad(
+            loss_on_preds, has_aux=True
+        )(preds)
+        (g_grads,) = g_vjp(dpreds)
         g_opt_state = _set_lr(state.g_opt_state, g_lr)
         g_updates, g_opt_state = g_opt.update(g_grads, g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
@@ -160,7 +185,14 @@ def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float):
         }
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    if render_fn is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def fused(state, partial, gt, weights, g_lr, d_lr):
+        depth = jax.lax.stop_gradient(render_fn(partial))
+        return step_fn(state, partial, depth, gt, g_lr, d_lr, weights)
+
+    return jax.jit(fused, donate_argnums=(0,))
 
 
 class AdvAuxState(flax.struct.PyTreeNode):
@@ -195,6 +227,8 @@ def make_adv55_train_step(
     sqrt_loss: bool,
     lambda_g: float,
     d_steps: int,
+    render_fn=None,
+    crop_n_out=None,
 ):
     """Jitted adversarial 55 step (core/train_55.py:144-180).
 
@@ -202,24 +236,39 @@ def make_adv55_train_step(
         (state, adv, metrics). Per batch: ``d_steps`` D updates on
         0.5*(BCE(D(gt),1)+BCE(D(stop_grad(P2)),0)) with the SAME fake
         cloud, then one G update on get_loss_PM + lambda_g*BCE(D_new(P2),1).
+
+    The generator runs ONE forward per step (matching the reference, which
+    reuses ``pcds_pred`` for both D's fake and G's loss) — the G gradient is
+    pulled back through a saved ``jax.vjp`` linearization instead of a
+    second forward inside ``grad``.
+
+    With ``render_fn`` set, depth rendering fuses into the step:
+    (state, adv, partial, gt, lr, d_lr). With ``crop_n_out`` also set, the
+    online crop synthesis fuses in too:
+    (state, adv, gt, direction, num_crop, lr, d_lr).
     """
     from svdformer_pointsea_tpu.train.state import TrainState
 
-    def step_fn(state, adv, partial, depth, gt, lr, d_lr):
-        preds0, _ = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            partial,
-            depth,
-            train=True,
-            mutable=["batch_stats"],
-        )
-        fake = jax.lax.stop_gradient(preds0[-1])
+    def step_fn(state, adv, partial, depth, gt, lr, d_lr, weights=None):
+        def g_forward(params):
+            preds, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                partial,
+                depth,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return tuple(preds), mutated["batch_stats"]
+
+        preds, g_vjp, new_bs = jax.vjp(g_forward, state.params, has_aux=True)
+        fake = jax.lax.stop_gradient(preds[-1])
 
         def d_loss_fn(d_params):
             real_logits = d_model.apply({"params": d_params}, gt)
             fake_logits = d_model.apply({"params": d_params}, fake)
             return 0.5 * (
-                _bce_logits(real_logits, 1.0) + _bce_logits(fake_logits, 0.0)
+                _bce_logits(real_logits, 1.0, weights)
+                + _bce_logits(fake_logits, 0.0, weights)
             )
 
         def d_update(_, carry):
@@ -236,28 +285,19 @@ def make_adv55_train_step(
             (adv.d_params, adv.d_opt_state, jnp.zeros(())),
         )
 
-        def g_loss_fn(params):
-            preds, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                partial,
-                depth,
-                train=True,
-                mutable=["batch_stats"],
+        def loss_on_preds(preds_in):
+            recon, parts = get_loss_pm(
+                preds_in, partial, gt, sqrt=sqrt_loss, weights=weights
             )
-            recon, parts = get_loss_pm(preds, partial, gt, sqrt=sqrt_loss)
             g_adv = _bce_logits(
-                d_model.apply({"params": d_params}, preds[-1]), 1.0
+                d_model.apply({"params": d_params}, preds_in[-1]), 1.0, weights
             )
-            return recon + lambda_g * g_adv, (
-                parts,
-                recon,
-                g_adv,
-                mutated["batch_stats"],
-            )
+            return recon + lambda_g * g_adv, (parts, recon, g_adv)
 
-        (g_loss, (parts, recon, g_adv, new_bs)), grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.params)
+        (g_loss, (parts, recon, g_adv)), dpreds = jax.value_and_grad(
+            loss_on_preds, has_aux=True
+        )(preds)
+        (grads,) = g_vjp(dpreds)
         opt_state = _set_lr(state.opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -278,7 +318,24 @@ def make_adv55_train_step(
         }
         return new_state, AdvAuxState(d_params, d_opt_state), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0, 1))
+    if render_fn is None:
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    if crop_n_out is None:
+
+        def fused(state, adv, partial, gt, weights, lr, d_lr):
+            depth = jax.lax.stop_gradient(render_fn(partial))
+            return step_fn(state, adv, partial, depth, gt, lr, d_lr, weights)
+
+    else:
+        from svdformer_pointsea_tpu.data.crop import crop_random_resampled
+
+        def fused(state, adv, gt, direction, num_crop, weights, lr, d_lr):
+            partial, _ = crop_random_resampled(gt, direction, num_crop, crop_n_out)
+            depth = jax.lax.stop_gradient(render_fn(partial))
+            return step_fn(state, adv, partial, depth, gt, lr, d_lr, weights)
+
+    return jax.jit(fused, donate_argnums=(0, 1))
 
 
 def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional[int] = None):
@@ -289,11 +346,14 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
 
     mesh = make_mesh_for_batch(tcfg.batch_size)
     state = jax.device_put(state, replicated_sharding(mesh))
-    step_fn = make_gan_train_step(g_model, d_model, g_opt, d_opt, tcfg.gan_weight)
+    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
+    # Depth rendering fused into the jitted step — one dispatch per batch.
+    step_fn = make_gan_train_step(
+        g_model, d_model, g_opt, d_opt, tcfg.gan_weight, render_fn=render.render
+    )
     lr_fn = reference_lr_schedule(
         tcfg.learning_rate, tcfg.warmup_steps, tcfg.lr_decay_step, tcfg.gamma
     )
-    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
 
     train_ds = make_dataset(cfg, "train", seed=cfg.seed)
     val_ds = make_dataset(cfg, "val", seed=cfg.seed)
@@ -320,19 +380,23 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
     for epoch in range(start_epoch, n_epochs + 1):
         t0 = time.time()
         losses = AverageMeter(["g_loss", "d_loss"])
+        pending = []  # defer device->host syncs to once per epoch
         for batch in train_loader:
-            partial = jnp.asarray(batch.data["partial_cloud"])
-            gt = jnp.asarray(batch.data["gtcloud"])
-            partial, gt = shard_batch((partial, gt), mesh)
-            depth = render.get_img(partial)
+            (partial, gt), w = pad_batch(
+                (batch.data["partial_cloud"], batch.data["gtcloud"]), mesh
+            )
+            partial, gt, w = shard_batch((partial, gt, w), mesh)
             lr = lr_fn(global_step + 1, epoch - 1)
-            state, metrics = step_fn(state, partial, depth, gt, lr, lr)
+            state, metrics = step_fn(state, partial, gt, w, lr, lr)
             global_step += 1
-            losses.update([float(metrics["g_loss"]), float(metrics["d_loss"])])
-            logger.add_scalar("Train/g_loss", float(metrics["g_loss"]), global_step)
-            logger.add_scalar("Train/d_loss", float(metrics["d_loss"]), global_step)
+            pending.append((global_step, metrics))
             if max_steps is not None and global_step >= max_steps:
                 break
+
+        for step_i, metrics in jax.device_get(pending):
+            losses.update([float(metrics["g_loss"]), float(metrics["d_loss"])])
+            logger.add_scalar("Train/g_loss", float(metrics["g_loss"]), int(step_i))
+            logger.add_scalar("Train/d_loss", float(metrics["d_loss"]), int(step_i))
 
         logging.info(
             "Epoch %d/%d t=%.1fs g=%.4f d=%.4f",

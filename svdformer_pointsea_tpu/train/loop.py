@@ -3,8 +3,9 @@
 TPU-native re-design of core/train_pcn.py and core/train_55.py: one jitted
 data-parallel train step over the device mesh (batch-sharded inputs,
 replicated params; XLA inserts the gradient all-reduce), a threaded prefetch
-loader on host, depth rendering and online crop synthesis fused into the
-jitted step, orbax best/periodic checkpoints and JSONL/TB scalar logging.
+loader on host, depth rendering and (on the 55 track) online crop synthesis
+fused INTO the jitted train step — one dispatch per batch — plus orbax
+best/periodic checkpoints and JSONL/TB scalar logging.
 """
 
 from __future__ import annotations
@@ -18,9 +19,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from svdformer_pointsea_tpu.configs import Config
-from svdformer_pointsea_tpu.data import Loader, crop_random_resampled, make_dataset, random_crop_params
+from svdformer_pointsea_tpu.data import Loader, make_dataset, random_crop_params
 from svdformer_pointsea_tpu.nn import GeoSpecNet, PointSea, SVDFormer
-from svdformer_pointsea_tpu.parallel import make_mesh_for_batch, replicated_sharding, shard_batch
+from svdformer_pointsea_tpu.parallel import (
+    make_mesh_for_batch,
+    pad_batch,
+    replicated_sharding,
+    shard_batch,
+)
 from svdformer_pointsea_tpu.render import PCViews, make_renderer
 from svdformer_pointsea_tpu.train.checkpoint import CheckpointManager, restore_checkpoint
 from svdformer_pointsea_tpu.train.evaluate import eval_55, eval_pcn
@@ -111,6 +117,7 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
     # 156-176): a lightweight point discriminator trained alongside, with a
     # BCE generator term. D state is run-local (the reference checkpoints
     # only {model, optimizer} here, train_55.py:227-230).
+    render = make_renderer(cfg)
     adversarial = bool(getattr(tcfg, "adv_enabled", False))
     if adversarial:
         from svdformer_pointsea_tpu.train.gan import (
@@ -128,12 +135,14 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
             sqrt_loss=tcfg.sqrt_loss,
             lambda_g=tcfg.adv_lambda_g,
             d_steps=tcfg.adv_d_steps,
+            render_fn=render.render,
+            crop_n_out=cfg.data.n_points,
         )
 
-        def train_step(state, partial, depth, gt, lr):
+        def train_step(state, gt, direction, num_crop, weights, lr):
             nonlocal adv_state
             state, adv_state, metrics = adv_step(
-                state, adv_state, partial, depth, gt, lr,
+                state, adv_state, gt, direction, num_crop, weights, lr,
                 jnp.float32(tcfg.adv_d_lr),
             )
             return state, metrics
@@ -144,11 +153,12 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
             optimizer,
             sqrt_loss=tcfg.sqrt_loss,
             partial_matching=tcfg.partial_matching,
+            render_fn=render.render,
+            crop_n_out=cfg.data.n_points if is_55 else None,
         )
     lr_fn = reference_lr_schedule(
         tcfg.learning_rate, tcfg.warmup_steps, tcfg.lr_decay_step, tcfg.gamma
     )
-    render = make_renderer(cfg)
 
     ckpts = CheckpointManager(cfg.out_path, tcfg.save_freq)
     start_epoch = 1
@@ -178,24 +188,45 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
         losses = AverageMeter(["cdc", "cd1", "cd2"])
         data_time = AverageMeter()
         batch_time = AverageMeter()
+        pending = []  # (step, lr, device metrics) — fetched once per epoch
         for batch in train_loader:
             timer.mark_data()
+            lr = lr_fn(global_step + 1, epoch - 1)
+            # Crop synthesis (55) and depth rendering run INSIDE the jitted
+            # train step — one dispatch per batch (only the tiny crop
+            # size/direction draw stays on host, matching the reference's
+            # host RNG, train_55.py:150). Batches that don't divide the
+            # device count are padded; pad rows carry zero loss weight.
             if is_55:
-                gt = jnp.asarray(batch.data["gtcloud"])
+                gt = batch.data["gtcloud"]
                 num_crop, direction = random_crop_params(
                     crop_rng, gt.shape[0], gt.shape[1]
                 )
-                partial, _ = crop_random_resampled(
-                    gt, jnp.asarray(direction), jnp.asarray(num_crop), cfg.data.n_points
+                (gt, direction, num_crop), w = pad_batch(
+                    (gt, direction, num_crop), mesh
                 )
+                gt, direction, num_crop, w = shard_batch(
+                    (gt, direction, num_crop, w), mesh
+                )
+                state, metrics = train_step(state, gt, direction, num_crop, w, lr)
             else:
-                partial = jnp.asarray(batch.data["partial_cloud"])
-                gt = jnp.asarray(batch.data["gtcloud"])
-            partial, gt = shard_batch((partial, gt), mesh)
-            depth = render.get_img(partial)
-            lr = lr_fn(global_step + 1, epoch - 1)
-            state, metrics = train_step(state, partial, depth, gt, lr)
+                (partial, gt), w = pad_batch(
+                    (batch.data["partial_cloud"], batch.data["gtcloud"]), mesh
+                )
+                partial, gt, w = shard_batch((partial, gt, w), mesh)
+                state, metrics = train_step(state, partial, gt, w, lr)
             global_step += 1
+            # Defer the device->host metric fetch: float() here would block
+            # on the step and serialize dispatch with compute. Metrics are
+            # tiny scalars; collect them and sync once per epoch.
+            pending.append((global_step, lr, metrics))
+            timer.mark_batch(global_step)
+            data_time.update(timer.data_time)
+            batch_time.update(timer.batch_time)
+            if max_steps is not None and global_step >= max_steps:
+                break
+
+        for step_i, lr_i, metrics in jax.device_get(pending):
             losses.update(
                 [
                     float(metrics["cdc"]) * 1e3,
@@ -203,13 +234,9 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
                     float(metrics["cd2"]) * 1e3,
                 ]
             )
-            logger.add_scalar("Train/loss", float(metrics["loss"]), global_step)
-            logger.add_scalar("Train/lr", lr, global_step)
-            timer.mark_batch(global_step)
-            data_time.update(timer.data_time)
-            batch_time.update(timer.batch_time)
-            if max_steps is not None and global_step >= max_steps:
-                break
+            logger.add_scalar("Train/loss", float(metrics["loss"]), int(step_i))
+            logger.add_scalar("Train/lr", float(lr_i), int(step_i))
+        pending.clear()
 
         logging.info(
             "Epoch %d/%d t=%.1fs data=%.3fs/it batch=%.3fs/it losses(x1e3)=%s",
@@ -264,4 +291,9 @@ def test_net(cfg: Config, mode: Optional[str] = None) -> float:
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if is_55:
         return eval_55(cfg, model, variables, loader, mode=mode)
+    if cfg.data.name == "KITTI":
+        from svdformer_pointsea_tpu.train.evaluate import eval_kitti
+
+        out_dir = os.path.join(cfg.out_path, "benchmark") if cfg.out_path else None
+        return eval_kitti(cfg, model, variables, loader, out_dir=out_dir)
     return eval_pcn(cfg, model, variables, loader)

@@ -98,14 +98,27 @@ def make_train_step(
     sqrt_loss: bool = True,
     partial_matching: bool = False,
     donate: bool = True,
+    render_fn: Optional[Callable[[Array], Array]] = None,
+    crop_n_out: Optional[int] = None,
 ):
     """Build the jitted DP train step.
 
-    signature: (state, partial, depth, gt, lr) -> (state, metrics)
+    Three fusion levels, one dispatch per batch each:
+
+    - ``render_fn=None`` (depth precomputed on host — tests/back-compat):
+      ``(state, partial, depth, gt, lr) -> (state, metrics)``
+    - ``render_fn`` set (PCN track): depth rendering fused into the step,
+      ``(state, partial, gt, weights, lr) -> (state, metrics)``
+    - ``render_fn`` + ``crop_n_out`` set (ShapeNet-55 track): online crop
+      synthesis (data/crop.py) AND rendering fused,
+      ``(state, gt, direction, num_crop, weights, lr) -> (state, metrics)``
+
+    ``weights`` is the (B,) loss mask from ``parallel.pad_batch`` — pad
+    rows (weight 0) keep every chip busy without perturbing the loss.
     metrics = {'loss', 'cdc', 'cd1', 'cd2'} (scalars).
     """
 
-    def step_fn(state: TrainState, partial, depth, gt, lr):
+    def update(state: TrainState, partial, depth, gt, lr, weights=None):
         def loss_fn(params):
             outs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -115,9 +128,11 @@ def make_train_step(
                 mutable=["batch_stats"],
             )
             if partial_matching:
-                loss, parts = get_loss_pm(outs, partial, gt, sqrt=sqrt_loss)
+                loss, parts = get_loss_pm(
+                    outs, partial, gt, sqrt=sqrt_loss, weights=weights
+                )
             else:
-                loss, parts = get_loss(outs, gt, sqrt=sqrt_loss)
+                loss, parts = get_loss(outs, gt, sqrt=sqrt_loss, weights=weights)
             return loss, (parts, mutated["batch_stats"])
 
         (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -139,6 +154,22 @@ def make_train_step(
             "cd2": parts[2],
         }
         return new_state, metrics
+
+    if render_fn is None:
+        step_fn = update
+    elif crop_n_out is None:
+
+        def step_fn(state, partial, gt, weights, lr):
+            depth = jax.lax.stop_gradient(render_fn(partial))
+            return update(state, partial, depth, gt, lr, weights)
+
+    else:
+        from svdformer_pointsea_tpu.data.crop import crop_random_resampled
+
+        def step_fn(state, gt, direction, num_crop, weights, lr):
+            partial, _ = crop_random_resampled(gt, direction, num_crop, crop_n_out)
+            depth = jax.lax.stop_gradient(render_fn(partial))
+            return update(state, partial, depth, gt, lr, weights)
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

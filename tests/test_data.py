@@ -331,3 +331,93 @@ def test_flash_block_selection_divides():
             assert qn % nq == 0, (qn, nq)
             assert kn % nk == 0, (kn, nk)
             assert not (nq == qn and nk == kn) or qn <= 512
+
+
+def test_kitti_dataset_loader(tmp_path, rng):
+    """KITTI cars zero-shot loader: pose-normalize via bbox, sample to
+    n_points (datasets/KITTI.json layout; pcn test_kitti.py normalization)."""
+    from svdformer_pointsea_tpu.configs import kitti_config
+
+    index = tmp_path / "KITTI.json"
+    ids = ["frame_27_car_0", "frame_27_car_1", "frame_30_car_2"]
+    index.write_text(json.dumps(
+        [{"taxonomy_id": "kitti-car", "taxonomy_name": "Car", "test": ids}]
+    ))
+    (tmp_path / "cars").mkdir()
+    (tmp_path / "bboxes").mkdir()
+    for mid in ids:
+        pts = rng.rand(137, 3).astype(np.float32) * 2.0 + 1.0
+        write_pcd(str(tmp_path / "cars" / f"{mid}.pcd"), pts)
+        # 8-corner axis-aligned box around the points.
+        lo, hi = pts.min(0), pts.max(0)
+        corners = np.array(
+            [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+             for z in (lo[2], hi[2])], dtype=np.float32)
+        np.savetxt(str(tmp_path / "bboxes" / f"{mid}.txt"), corners)
+
+    import dataclasses
+    cfg = kitti_config()
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data,
+        category_file=str(index),
+        partial_points_path=str(tmp_path) + "/cars/%s.pcd",
+        bbox_path=str(tmp_path) + "/bboxes/%s.txt",
+    ))
+    ds = make_dataset(cfg, "test")
+    assert len(ds) == 3
+    tax, mid, data = ds[0]
+    assert tax == "kitti-car" and mid == ids[0]
+    cloud = data["partial_cloud"]
+    assert cloud.shape == (cfg.data.n_points, 3)
+    # Pose normalization brings the scan into a ~unit canonical frame.
+    assert np.abs(cloud).max() < 2.0
+    assert "bounding_box" not in data
+
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=0)
+    batches = list(loader)
+    assert batches[0].data["partial_cloud"].shape == (2, cfg.data.n_points, 3)
+    assert batches[1].valid == 1
+
+
+def test_shapenet34_presets_and_index_format(tmp_path, rng):
+    """34/Unseen-21 presets differ from 55 only by the index directory
+    (reference README:61-63); loader consumes the same txt format."""
+    from svdformer_pointsea_tpu.configs import shapenet34_config, shapenet55_config
+
+    c34 = shapenet34_config()
+    c21 = shapenet34_config(unseen=True)
+    c55 = shapenet55_config()
+    assert c34.data.category_file.endswith("ShapeNet34")
+    assert c21.data.category_file.endswith("ShapeNet-Unseen21")
+    # Everything else matches the 55 track.
+    assert c34.data.gt_points == c55.data.gt_points == 8192
+    assert c34.network == c55.network
+
+    # Synthesize a ShapeNet-34-shaped index: <taxonomy>-<model_id> lines.
+    idx_dir = tmp_path / "ShapeNet34"
+    idx_dir.mkdir()
+    root = tmp_path / "shapenet55"
+    root.mkdir()
+    lines = []
+    for i in range(3):
+        name = f"0269115{i}-deadbeef{i}"
+        lines.append(name)
+        np.save(str(root / f"{name}.npy"),
+                rng.rand(8192, 3).astype(np.float32))
+    (idx_dir / "test.txt").write_text("\n".join(lines) + "\n")
+
+    import dataclasses
+    cfg = c34.replace(data=dataclasses.replace(
+        c34.data,
+        category_file=str(idx_dir),
+        complete_points_path=str(root) + "/%s.npy",
+    ))
+    ds = make_dataset(cfg, "test")
+    assert len(ds) == 3
+    tax, mid, data = ds[0]
+    assert tax == "02691150" and mid == "deadbeef0"
+    gt = data["gtcloud"]
+    assert gt.shape == (8192, 3)
+    # pc_norm applied: centered, unit-sphere.
+    np.testing.assert_allclose(gt.mean(0), 0, atol=1e-4)
+    assert np.linalg.norm(gt, axis=1).max() <= 1.0 + 1e-5

@@ -60,3 +60,22 @@ def test_emd_near_optimal_vs_scipy(rng):
     optimal = float(d2[r, c].sum())
     assert cost >= optimal - 1e-6
     assert cost <= optimal + n * 0.001 * 3  # eps-suboptimality bound
+
+
+def test_emd_unassigned_accounting(rng):
+    """Converged auctions report zero unmatched points; a starved iteration
+    budget reports them instead of silently zeroing dist (ops/emd.py)."""
+    from svdformer_pointsea_tpu.ops import emd_unassigned
+
+    x1 = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    _, assignment = earth_mover_distance(x1, x2, eps=0.002, iters=5000)
+    assert int(emd_unassigned(assignment).max()) == 0
+
+    dist0, a0 = earth_mover_distance(x1, x2, eps=0.005, iters=1)
+    n_un = emd_unassigned(a0)
+    # One iteration cannot settle every contested point...
+    assert int(n_un.max()) > 0
+    # ...and exactly the unassigned rows carry the silent zeros.
+    zeros = (np.asarray(dist0) == 0).sum(axis=1)
+    assert (np.asarray(n_un) <= zeros).all()
