@@ -6,14 +6,22 @@ geometry — self-view depth rendering (3x224x224) + forward pass
 chip, steady-state (post-compile), best batch size among a small sweep.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "mfu": ...}
 
-``vs_baseline`` scales against the BASELINE.md target of >= 2x A100
-completions/sec/chip. The reference publishes no A100 number (BASELINE.md),
-so we use a documented estimate of 30 completions/s for the PyTorch
-reference on one A100 (batched eval; dominated by the 2048-token SDG
-attention, per-stage CUDA chamfer, and the tiny-ResNet at stride-1 224^2),
-making the target 60/s: vs_baseline = value / 60.
+``mfu`` is model FLOPs utilization: XLA's own cost analysis of the compiled
+pipeline (fwd FLOPs per batch) divided by (measured wall time x the chip's
+peak matmul FLOP/s for its generation) — the roofline accounting VERDICT
+round-1 asked for.
+
+``vs_baseline``: the reference publishes no benchmark numbers at all
+(BASELINE.md; README.md has no results table), and no A100 is reachable
+from this environment, so the torch denominator CANNOT be measured here.
+We keep the round-1 documented estimate of 30 completions/s for the torch
+reference on one A100 (batched eval; dominated by 2048-token SDG attention,
+per-stage CUDA chamfer, stride-1 224^2 tiny-ResNet) and now BRACKET it:
+``vs_baseline_range`` reports value/(2*60) .. value/(2*15), i.e. the
+sensitivity of the ">=2x A100" claim to a 2x error in the estimate in
+either direction. The mfu field is the estimate-free perf statement.
 """
 
 from __future__ import annotations
@@ -31,7 +39,28 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_REF_ESTIMATE = 30.0  # completions/s, documented assumption (see above)
+A100_REF_BRACKET = (15.0, 60.0)  # 2x sensitivity band around the estimate
 TARGET = 2.0 * A100_REF_ESTIMATE
+
+# Peak dense matmul FLOP/s per chip generation (bf16 systolic-array peak;
+# public TPU spec sheets). fp32 work on the MXU runs below this peak, so
+# fp32-heavy models report conservative (lower-bound) MFU.
+_PEAK_FLOPS = (
+    ("v6", 918e12),  # Trillium / v6e
+    ("v5p", 459e12),
+    ("v5", 197e12),  # v5e / "TPU v5 lite"
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+)
+
+
+def _chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for tag, peak in _PEAK_FLOPS:
+        if tag in kind:
+            return peak
+    return 197e12  # unknown chip: assume v5e-class
 
 
 def main() -> None:
@@ -58,6 +87,9 @@ def main() -> None:
 
     best = 0.0
     best_bs = 0
+    best_dt = 0.0
+    best_pipeline = None
+    best_args = None
     init_partial = jnp.asarray(rng.rand(2, N, 3).astype(np.float32) * 0.5)
     init_depth = render.get_img(init_partial)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), init_partial, init_depth)
@@ -70,7 +102,9 @@ def main() -> None:
             out.block_until_ready()
         except Exception:
             continue
-        # steady-state timing
+        # steady-state timing: chained dispatches, one final block (the
+        # memory-documented tunnel-safe recipe — per-call blocking would
+        # measure tunnel latency, not device time).
         n_iter = 10
         t0 = time.perf_counter()
         for _ in range(n_iter):
@@ -79,7 +113,24 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / n_iter
         rate = bs / dt
         if rate > best:
-            best, best_bs = rate, bs
+            best, best_bs, best_dt = rate, bs, dt
+            best_pipeline, best_args = pipeline, partial
+
+    # MFU: XLA cost analysis of the winning executable (per-call FLOPs).
+    mfu = None
+    flops_per_completion = None
+    try:
+        cost = (
+            best_pipeline.lower(variables, best_args).compile().cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            flops_per_completion = flops / best_bs
+            mfu = round(flops / best_dt / _chip_peak_flops(), 4)
+    except Exception:
+        pass  # cost analysis unavailable on this backend; mfu stays null
 
     print(
         json.dumps(
@@ -88,6 +139,13 @@ def main() -> None:
                 "value": round(best, 2),
                 "unit": "completions/s",
                 "vs_baseline": round(best / TARGET, 3),
+                "vs_baseline_range": [
+                    round(best / (2.0 * A100_REF_BRACKET[1]), 3),
+                    round(best / (2.0 * A100_REF_BRACKET[0]), 3),
+                ],
+                "mfu": mfu,
+                "flops_per_completion": flops_per_completion,
+                "device_kind": jax.devices()[0].device_kind,
             }
         )
     )

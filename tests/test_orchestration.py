@@ -101,6 +101,7 @@ def test_checkpoint_manager_policy(tmp_path):
     assert epoch == 3 and best == 0.5
 
 
+@pytest.mark.heavy
 def test_micro_train_pcn_end_to_end(tmp_path, rng):
     """Full train_net: data from disk -> render -> step -> eval -> ckpt."""
     cfg = _tiny_pcn_config(tmp_path, rng)
@@ -125,6 +126,7 @@ def test_micro_train_pcn_end_to_end(tmp_path, rng):
     assert best2 <= best + 1e-9
 
 
+@pytest.mark.heavy
 def test_micro_train_55_end_to_end(tmp_path, rng):
     """ShapeNet-55 track: npy data, online crops, partial-matching loss,
     8-viewpoint eval (trimmed to 1 viewpoint via monkeypatched corners)."""
@@ -178,6 +180,7 @@ def test_micro_train_55_end_to_end(tmp_path, rng):
     assert int(state.step) == 1  # 2 samples, batch 2
 
 
+@pytest.mark.heavy
 def test_gan_micro_step(rng):
     """One jitted GAN step: D and G both update, losses finite
     (core/train_geospec.py:110-130 ordering)."""
@@ -219,6 +222,7 @@ def test_average_meter_multi_item():
     assert s.avg() == 5.0
 
 
+@pytest.mark.heavy
 def test_micro_train_55_adversarial(tmp_path, rng):
     """Optional adversarial 55 branch (core/train_55.py:115-122,156-176):
     SimplePointDiscriminator trained inline, BCE generator term."""
@@ -278,6 +282,7 @@ def test_micro_train_55_adversarial(tmp_path, rng):
     assert int(state.step) == 1
 
 
+@pytest.mark.heavy
 def test_adv55_step_updates_both_networks(rng):
     """One adversarial step moves both G and D params and returns finite
     losses (the D-steps fori_loop and the 0.5-weighted BCE)."""
@@ -320,6 +325,7 @@ def test_adv55_step_updates_both_networks(rng):
     assert not np.allclose(d0, np.asarray(d1))
 
 
+@pytest.mark.heavy
 def test_micro_train_pointsea_end_to_end(tmp_path, rng):
     """PointSea track: PCN data + realistic voxel renderer selected by
     make_renderer (beyond-reference: models_PointSea ships no trainer)."""

@@ -20,12 +20,18 @@ from torch_oracle import (
     make_partial,
     pcn_cfg,
     reference_available,
+    small_pcn_cfg,
     state_dict_numpy,
 )
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="/root/reference not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not reference_available(), reason="/root/reference not mounted"
+    ),
+    # Minutes per test on a 1-CPU box: torch reference fwd/bwd at full
+    # geometry + our jit compiles. Smoke tier: pytest -m "not heavy".
+    pytest.mark.heavy,
+]
 
 
 @pytest.fixture(scope="module")
@@ -381,13 +387,13 @@ def test_svdformer_gradient_matches_reference(rng, reference):
     from svdformer_pointsea_tpu.train.convert import convert_state_dict
 
     torch.manual_seed(0)
-    ref_model = ref_svd.Model(pcn_cfg())
+    ref_model = ref_svd.Model(small_pcn_cfg())
     ref_model.train()
 
     B, N = 1, 2048
     pts = make_partial(rng, B, N)
     depth = np.asarray(PCViews(trans=-0.7, resolution=224).get_img(pts))
-    gt = make_partial(rng, B, 16384)
+    gt = make_partial(rng, B, 4096)
 
     preds = ref_model(
         torch.from_numpy(pts.copy()),
@@ -403,9 +409,9 @@ def test_svdformer_gradient_matches_reference(rng, reference):
     ref_gp, _ = convert_state_dict(grad_sd)
 
     torch.manual_seed(0)
-    fresh = ref_svd.Model(pcn_cfg())
+    fresh = ref_svd.Model(small_pcn_cfg())
     params, batch_stats = convert_state_dict(state_dict_numpy(fresh))
-    model = SVDFormer()
+    model = SVDFormer(merge_points=128)
 
     jpts, jdepth, jgt = (jnp.asarray(a) for a in (pts, depth, gt))
 
@@ -463,10 +469,11 @@ def test_svdformer_gradient_matches_reference(rng, reference):
 
 
 def test_pointsea_gradient_matches_reference(rng, reference):
-    """Gradient parity for PointSea: unlike SVDFormer's SDG, its structure
-    analysis does NOT detach the in-model chamfer (PointSea.py:101-104), so
-    this exercises nn_squared_distance's custom VJP inside the model, plus
-    the path-selection gates and SDG_l's previous-stage conditioning."""
+    """Gradient parity for PointSea. Like SVDFormer, the in-model chamfer
+    feeds only the sinusoidal embedding, which detaches on both sides
+    (models_PointSea/model_utils.py:612 / our stop_gradient) — so what this
+    exercises beyond the SVDFormer gradient test is the path-selection
+    gates, SDG_l's previous-stage conditioning, and the ResNet18 trunk."""
     load_reference_models()
     import models_PointSea.PointSea as ref_ps
     import utils.loss_utils as ref_losses
@@ -480,13 +487,13 @@ def test_pointsea_gradient_matches_reference(rng, reference):
     from svdformer_pointsea_tpu.train.convert import convert_state_dict
 
     torch.manual_seed(0)
-    ref_model = ref_ps.Model(pcn_cfg())
+    ref_model = ref_ps.Model(small_pcn_cfg())
     ref_model.train()
 
     B, N = 1, 2048
     pts = make_partial(rng, B, N)
     depth = np.asarray(PCViewsReal(trans=-0.7).get_img(pts))
-    gt = make_partial(rng, B, 16384)
+    gt = make_partial(rng, B, 4096)
 
     preds = ref_model(
         torch.from_numpy(pts.copy()),
@@ -504,9 +511,9 @@ def test_pointsea_gradient_matches_reference(rng, reference):
     ref_gp, _ = convert_state_dict(grad_sd)
 
     torch.manual_seed(0)
-    fresh = ref_ps.Model(pcn_cfg())
+    fresh = ref_ps.Model(small_pcn_cfg())
     params, batch_stats = convert_state_dict(state_dict_numpy(fresh))
-    model = PointSea()
+    model = PointSea(merge_points=128)
     jpts, jdepth, jgt = (jnp.asarray(a) for a in (pts, depth, gt))
 
     def loss_fn(p):

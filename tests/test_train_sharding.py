@@ -23,7 +23,10 @@ def test_eight_cpu_devices_available():
     assert jax.device_count() >= 8
 
 
+@pytest.mark.heavy
 def test_dryrun_multichip_entrypoint():
+    # ~4.5 min warm-cache on this 1-CPU box (PCN-structural geometry,
+    # batch 12->16 pad rehearsal, fused render): heavy tier.
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
@@ -45,6 +48,7 @@ def test_lr_schedule_reference_semantics():
     assert np.isclose(lr55(1000, 5), 1e-4 * 0.98**2)
 
 
+@pytest.mark.heavy
 def test_train_loss_decreases_on_fixed_batch(rng):
     """e2e micro-train: loss decreases on a tiny synthetic fixed batch."""
     model = SVDFormer(step1=2, step2=2, merge_points=32, local_points=32)
@@ -72,6 +76,7 @@ def test_train_loss_decreases_on_fixed_batch(rng):
     assert np.mean(losses[-3:]) < 0.5 * np.max(losses[:3]), losses
 
 
+@pytest.mark.heavy  # 244 s on this 1-CPU box (model-scale 8-device step)
 def test_sharded_step_matches_single_device(rng):
     """Same batch, 8-device mesh vs 1-device mesh: identical params after one
     step (DP must be math-equivalent to local compute)."""
@@ -106,6 +111,7 @@ def test_sharded_step_matches_single_device(rng):
         )
 
 
+@pytest.mark.heavy
 def test_multihost_dp_rehearsal(rng):
     """True multi-process DP: 2 processes x 4 fake CPU devices, gloo
     collectives, per-process local batches via shard_host_local_batch

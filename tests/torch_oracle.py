@@ -245,6 +245,16 @@ def pcn_cfg():
     return cfg
 
 
+def small_pcn_cfg():
+    """pcn_cfg with merge_points shrunk 512->128 (output 4096 instead of
+    16384): same architecture/layer shapes, 16x less quadratic attention +
+    chamfer work — keeps the 1-CPU gradient-parity tests in budget
+    (VERDICT round-1 next-step #4)."""
+    cfg = pcn_cfg()
+    cfg.NETWORK.merge_points = 128
+    return cfg
+
+
 def state_dict_numpy(model) -> dict:
     return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
 
