@@ -35,6 +35,12 @@ def _parser(track: str) -> argparse.ArgumentParser:
     p.add_argument(
         "--epochs", type=int, default=None, help="override number of epochs"
     )
+    p.add_argument(
+        "--precision", default=None, choices=["f32", "bf16"],
+        help="training compute precision (bf16 = TPU mixed precision: "
+        "bf16 image-trunk compute + bf16 flash-attention inputs; default f32 "
+        "is the reference-faithful path)",
+    )
     if track == "55":
         p.add_argument(
             "--mode", default=None, choices=["easy", "median", "hard"],
@@ -54,6 +60,10 @@ def _apply_overrides(cfg: Config, args) -> Config:
         import dataclasses
 
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, n_epochs=args.epochs))
+    if getattr(args, "precision", None):
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, precision=args.precision))
     return cfg
 
 

@@ -70,6 +70,10 @@ class TrainConfig:
     adv_d_lr: float = 1e-4
     adv_d_steps: int = 1
     gan_weight: float = 0.05  # GeoSpec GAN loss weight
+    # Training compute precision: "f32" (reference-faithful default) or
+    # "bf16" (TPU mixed precision: bf16 image-trunk compute + bf16
+    # flash-attention inputs, params/optimizer f32 — nn/precision.py).
+    precision: str = "f32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,6 +23,10 @@ from svdformer_pointsea_tpu.nn.layers import (
     PointNetSAModule,
     PointNetFPModule,
 )
+from svdformer_pointsea_tpu.nn.precision import (
+    mixed_precision_enabled,
+    set_mixed_precision,
+)
 from svdformer_pointsea_tpu.nn.resnet import ImageTrunk, ResNet18, set_trunk_bf16
 from svdformer_pointsea_tpu.nn.svdformer import SVDFormer
 from svdformer_pointsea_tpu.nn.geospecnet import (
@@ -47,6 +51,8 @@ __all__ = [
     "PointNetSAModule",
     "PointNetFPModule",
     "set_trunk_bf16",
+    "set_mixed_precision",
+    "mixed_precision_enabled",
     "ImageTrunk",
     "ResNet18",
     "SVDFormer",

@@ -52,6 +52,15 @@ def set_trunk_bf16(enabled: bool) -> None:
 
 
 def _trunk_dtype(train: bool):
+    from svdformer_pointsea_tpu.nn.precision import mixed_precision_enabled
+
+    # Training throughput mode (nn/precision.py): the 16-channel 224^2
+    # trunk convs are the single largest fwd+bwd block after SDG2 and run
+    # 2x faster in bf16 (62 -> 31 ms at B12). Applies in both train and
+    # eval traces while the switch is on (the in-training validation then
+    # also runs a bf16 trunk — documented in precision.py).
+    if mixed_precision_enabled():
+        return jnp.bfloat16
     if _TRUNK_BF16 and not train and jax.default_backend() == "tpu":
         return jnp.bfloat16
     return None

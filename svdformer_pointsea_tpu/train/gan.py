@@ -342,6 +342,10 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
     """Full GAN training run (core/train_geospec.py). Returns (state, best)."""
     set_seed(cfg.seed)
     tcfg = cfg.train
+    # Trace-time switch — must precede the first trace (nn/precision.py).
+    from svdformer_pointsea_tpu.nn import set_mixed_precision
+
+    set_mixed_precision(getattr(tcfg, "precision", "f32") == "bf16")
     g_model, d_model, g_opt, d_opt, state = create_gan_state(cfg, seed=cfg.seed)
 
     mesh = make_mesh_for_batch(tcfg.batch_size)

@@ -89,6 +89,10 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
     set_seed(cfg.seed)
     is_55 = cfg.data.name == "ShapeNet55"
     tcfg = cfg.train
+    # Trace-time switch — must precede the first trace (nn/precision.py).
+    from svdformer_pointsea_tpu.nn import set_mixed_precision
+
+    set_mixed_precision(getattr(tcfg, "precision", "f32") == "bf16")
 
     train_ds = make_dataset(cfg, "train", seed=cfg.seed)
     val_ds = make_dataset(cfg, "val" if not is_55 else "test", seed=cfg.seed)
@@ -272,6 +276,11 @@ def test_net(cfg: Config, mode: Optional[str] = None) -> float:
     """Standalone evaluation (core/test_pcn.py / core/test_55.py)."""
     set_seed(cfg.seed)
     is_55 = cfg.data.name == "ShapeNet55"
+    from svdformer_pointsea_tpu.nn import set_mixed_precision
+
+    # Default f32: evaluation is the parity surface. --precision bf16 on a
+    # test run is an explicit opt-in to the throughput trade-off.
+    set_mixed_precision(getattr(cfg.train, "precision", "f32") == "bf16")
     model = build_model(cfg)
     optimizer = make_optimizer(weight_decay=cfg.train.weight_decay)
     state = init_state(cfg, model, optimizer, seed=cfg.seed)

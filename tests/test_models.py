@@ -113,3 +113,36 @@ def test_pointsea_shapes(rng):
     assert coarse.shape == (B, 256, 3)  # seed stage always emits 256 points
     assert fine1.shape == (B, 256, 3)
     assert fine2.shape == (B, 512, 3)
+
+
+def test_mixed_precision_switch(rng, small_svdformer):
+    """nn.set_mixed_precision flips the trunk to bf16 compute (params stay
+    f32, outputs f32) and changes results only within bf16 round-off."""
+    from svdformer_pointsea_tpu.nn import mixed_precision_enabled, set_mixed_precision
+
+    partial, depth = _inputs(rng)
+    model = small_svdformer
+    variables = model.init(jax.random.PRNGKey(0), partial, depth)
+    base = model.apply(variables, partial, depth)
+    assert not mixed_precision_enabled()
+    set_mixed_precision(True)
+    try:
+        assert mixed_precision_enabled()
+        outs = model.apply(variables, partial, depth)
+        engaged = False
+        for o, b in zip(outs, base):
+            assert o.dtype == jnp.float32
+            assert np.all(np.isfinite(np.asarray(o)))
+            engaged = engaged or not np.allclose(np.asarray(o), np.asarray(b))
+        # The switch must actually change the computation (bf16 round-off;
+        # at RANDOM init the shift amplifies chaotically downstream, so no
+        # magnitude bound is asserted here — the trained-quality cost is
+        # characterized on hardware, docs/STATUS.md).
+        assert engaged
+        # params untouched (compute-dtype only, not param dtype)
+        assert all(
+            leaf.dtype == jnp.float32
+            for leaf in jax.tree_util.tree_leaves(variables["params"])
+        )
+    finally:
+        set_mixed_precision(False)

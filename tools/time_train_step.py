@@ -7,7 +7,7 @@ deferred metric fetch) is timed here with the tunnel-safe recipe: thread the
 donated state through N steps, block ONCE at the end. Per-call blocking would
 measure tunnel RPC latency, not device time.
 
-Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/time_train_step.py [B]
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/time_train_step.py [B] [f32|bf16]
 """
 
 from __future__ import annotations
@@ -32,6 +32,10 @@ from svdformer_pointsea_tpu.train.state import make_optimizer, make_train_step
 
 def main() -> None:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    if len(sys.argv) > 2:
+        from svdformer_pointsea_tpu.nn import set_mixed_precision
+
+        set_mixed_precision(sys.argv[2] == "bf16")
     cfg = pcn_config()
     model = build_model(cfg)
     optimizer = make_optimizer(weight_decay=cfg.train.weight_decay, betas=cfg.train.betas)
