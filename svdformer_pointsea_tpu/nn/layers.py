@@ -152,7 +152,11 @@ def set_flash_attention(enabled: bool) -> None:
 
 
 def _flash_eligible(q, k) -> bool:
-    if not _FLASH_ENABLED or jax.default_backend() != "tpu":
+    from svdformer_pointsea_tpu.parallel.sp import sp_active
+
+    # sp_active: pallas_call is not GSPMD-partitionable — the naive XLA
+    # attention lets the partitioner shard Q tokens and all-gather K/V.
+    if not _FLASH_ENABLED or jax.default_backend() != "tpu" or sp_active():
         return False
     qn, kn, dh = q.shape[1], k.shape[1], q.shape[-1]
     return (

@@ -33,6 +33,7 @@ from svdformer_pointsea_tpu.nn.layers import (
 from svdformer_pointsea_tpu.nn.resnet import ImageTrunk
 from svdformer_pointsea_tpu.ops import furthest_point_sample, gather_points
 from svdformer_pointsea_tpu.ops.distances import nn_squared_distance
+from svdformer_pointsea_tpu.parallel.sp import shard_tokens
 
 Array = jax.Array
 
@@ -161,6 +162,12 @@ class SDG(linen.Module):
         B, N, _ = coarse.shape
         ch, hidden, ratio = self.channel, self.hidden_dim, self.ratio
 
+        # Opt-in sequence parallelism (parallel/sp.py): the SDG token axes
+        # are the model's dominant compute; under a 2-D (data, sp) mesh
+        # these hints let GSPMD shard all per-token work (attention Q,
+        # FFNs, point-shuffle, coordinate heads) over the sp axis and
+        # insert the K/V all-gathers itself. No-ops when SP is off.
+        coarse = shard_tokens(coarse)
         F = linen.Dense(64, name="conv_x")(coarse)
         F = linen.Dense(ch, name="conv_x1")(jax.nn.gelu(F, approximate=False))
         g = linen.Dense(256, name="conv_11")(f_g)
@@ -177,7 +184,7 @@ class SDG(linen.Module):
         # Reference reinterprets (B, N, hidden) memory as (B, hidden, N) then
         # permutes to seq-first (models/SVDFormer.py:77) — same bytes, our
         # channels-last view of it is:
-        pos = jnp.swapaxes(emb.reshape(B, hidden, N), 1, 2)
+        pos = shard_tokens(jnp.swapaxes(emb.reshape(B, hidden, N), 1, 2))
 
         F_Q = SelfAttentionBlock(ch * 2, hidden, nhead=8, name="sa1")(F, pos=pos)
         if self.sdg_decoder:
@@ -198,10 +205,11 @@ class SDG(linen.Module):
             jnp.concatenate([F_Q_, F_H_], axis=-1)
         )
         F_L = torch_channel_reshape(F_L, ch, N * ratio)  # (B, N*ratio, ch)
+        F_L = shard_tokens(F_L)
         F_L = linen.Dense(ch, name="conv_delta")(F_L)
         O_L = linen.Dense(64, name="conv_out1")(F_L)
         O_L = linen.Dense(3, name="conv_out")(jax.nn.gelu(O_L, approximate=False))
-        return jnp.tile(coarse, (1, ratio, 1)) + O_L
+        return shard_tokens(jnp.tile(coarse, (1, ratio, 1)) + O_L)
 
 
 class LocalEncoder(linen.Module):

@@ -172,7 +172,11 @@ def _nn_one_way(a: Array, b: Array) -> tuple[Array, Array]:
     b = b.astype(jnp.float32)
     B, N, _ = a.shape
     M = b.shape[1]
-    if jax.default_backend() == "tpu" and N * M >= 256 * 256:
+    from svdformer_pointsea_tpu.parallel.sp import sp_active
+
+    # sp_active: pallas_call is not GSPMD-partitionable — use the XLA tiled
+    # path, which shards over the (token-sharded) query axis.
+    if jax.default_backend() == "tpu" and N * M >= 256 * 256 and not sp_active():
         # Fused VMEM kernel — never materialises (N, M) tiles in HBM.
         # Only reached from custom_vjp-wrapped fronts (chamfer_distance,
         # nn_squared_distance), so no JVP rule is needed.

@@ -172,7 +172,12 @@ def furthest_point_sample(xyz: Array, npoint: int) -> Array:
     xyz = jax.lax.stop_gradient(xyz)
     if npoint == 1:
         return jnp.zeros((xyz.shape[0], 1), jnp.int32)
-    if jax.default_backend() == "tpu":
+    from svdformer_pointsea_tpu.parallel.sp import sp_active
+
+    # Under sequence parallelism the Pallas kernel would force GSPMD to
+    # replicate around the call (pallas_call is not partitionable); the
+    # scan path stays shardable over the batch axis.
+    if jax.default_backend() == "tpu" and not sp_active():
         return _fps_pallas(xyz, npoint)
     return furthest_point_sample_ref(xyz, npoint)
 

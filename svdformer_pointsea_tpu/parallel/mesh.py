@@ -32,6 +32,24 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_mesh_2d(
+    n_sp: int, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """2-D (data, sp) mesh: batch sharded over ``data``, SDG tokens over
+    ``sp`` (parallel/sp.py). ``n_sp`` must divide the device count; the sp
+    axis is innermost so its collectives ride neighbouring ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % n_sp != 0:
+        raise ValueError(f"n_sp={n_sp} does not divide {n} devices")
+    from svdformer_pointsea_tpu.parallel.sp import SP_AXIS
+
+    return Mesh(
+        np.asarray(devices).reshape(n // n_sp, n_sp), (DATA_AXIS, SP_AXIS)
+    )
+
+
 def make_mesh_for_batch(batch_size: int) -> Mesh:
     """Mesh over ALL devices. When ``batch_size`` does not divide the device
     count the caller pads the batch with :func:`pad_batch` (pad rows carry
@@ -56,8 +74,9 @@ def pad_batch(batch: Any, mesh: Mesh) -> tuple[Any, np.ndarray]:
     size by repeating rows cyclically, and return ``(padded, weights)``
     where ``weights`` is 1.0 for real rows and 0.0 for pads — feed it to the
     loss so pad rows contribute nothing (the fixed-shape, exact-loss
-    alternative to DataParallel's uneven scatter)."""
-    n = mesh.devices.size
+    alternative to DataParallel's uneven scatter). On a 2-D (data, sp) mesh
+    the batch only shards over the data axis, so pad to that size."""
+    n = dict(mesh.shape).get(DATA_AXIS, mesh.devices.size)
     leaves = jax.tree_util.tree_leaves(batch)
     b = leaves[0].shape[0]
     target = -(-b // n) * n
