@@ -26,6 +26,11 @@ class NetworkConfig:
     decoder: str = "sdg"
     # Which model family: 'svdformer' | 'geospecnet' | 'pointsea'.
     model: str = "svdformer"
+    # Self-view depth-image resolution. The reference hard-codes 224
+    # (models/model_utils.py:1179-1234, RESOLUTION=224); exposed here so
+    # tests/micro-runs can shrink the raster. PointSea's realistic
+    # renderer keeps its own fixed 224 grid (mv_utils_zs.py PARAMS).
+    resolution: int = 224
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,4 +14,7 @@ def make_renderer(cfg):
     """
     if cfg.network.model == "pointsea":
         return PCViewsReal(trans=-cfg.network.view_distance)
-    return PCViews(trans=-cfg.network.view_distance, resolution=224)
+    return PCViews(
+        trans=-cfg.network.view_distance,
+        resolution=getattr(cfg.network, "resolution", 224),
+    )

@@ -44,14 +44,18 @@ def main() -> None:
     assert len(jax.devices()) == n_global
     mesh = make_mesh()
 
-    model = SVDFormer(step1=2, step2=2, merge_points=128, local_points=128)
-    B, N, res = n_global, 512, 32
+    # Geometry mirrors test_multihost_dp_rehearsal's single-process
+    # reference run; shrunk (512->256 pts etc.) because 8 fake devices on
+    # one CPU serialize — the multi-process sharding semantics under test
+    # are size-independent.
+    model = SVDFormer(step1=2, step2=2, merge_points=32, local_points=32)
+    B, N, res = n_global, 256, 16
     rng = np.random.RandomState(0)
     # The full global batch is derived from one seed everywhere; each
     # process contributes only its slice, as a real multi-host loader would.
     partial = rng.rand(B, N, 3).astype(np.float32)
     depth = rng.rand(B, 3, res, res).astype(np.float32)
-    gt = rng.rand(B, 1024, 3).astype(np.float32)
+    gt = rng.rand(B, 512, 3).astype(np.float32)
     lo, hi = pid * dpp, (pid + 1) * dpp
     local = {"partial": partial[lo:hi], "depth": depth[lo:hi], "gt": gt[lo:hi]}
 

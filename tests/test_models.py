@@ -32,8 +32,8 @@ def small_svdformer():
 def test_svdformer_shapes(rng, small_svdformer):
     partial, depth = _inputs(rng)
     model = small_svdformer
-    variables = model.init(jax.random.PRNGKey(0), partial, depth)
-    coarse, fine1, fine2 = model.apply(variables, partial, depth)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), partial, depth)
+    coarse, fine1, fine2 = jax.jit(model.apply)(variables, partial, depth)
     assert coarse.shape == (B, 256, 3)  # seed stage always emits 256 points
     assert fine1.shape == (B, 128 * 2, 3)
     assert fine2.shape == (B, 128 * 2 * 2, 3)
@@ -69,7 +69,9 @@ def test_svdformer_grad_flows(rng, small_svdformer):
             k: v for k, v in variables.items() if k != "params"}}, partial, depth)
         return jnp.mean(f2**2) + jnp.mean(f1**2) + jnp.mean(c**2)
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    # jit: eager whole-model grad is ~80 s of op-by-op CPU dispatch; the
+    # compiled version hits the persistent test cache.
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     norms = [float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(norms))
     # The overwhelming majority of parameters should receive gradient.

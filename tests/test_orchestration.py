@@ -25,7 +25,9 @@ from svdformer_pointsea_tpu.train import (
 from svdformer_pointsea_tpu.utils import AverageMeter
 
 
-TINY_NET = dict(step1=2, step2=2, merge_points=32, local_points=32)
+# resolution=32: the 224^2 16-channel trunk convs dominate micro-train time
+# on this 1-CPU box (~50x raster shrink; orchestration coverage unchanged).
+TINY_NET = dict(step1=2, step2=2, merge_points=32, local_points=32, resolution=32)
 
 
 def _tiny_pcn_config(tmp_path, rng, n_models=3, gt_points=512, n_points=256):

@@ -67,7 +67,7 @@ def test_train_loss_decreases_on_fixed_batch(rng):
 
     step = make_train_step(model, optimizer, donate=False)
     losses = []
-    for i in range(12):
+    for i in range(8):
         state, metrics = step(state, partial, depth, gt, jnp.float32(2e-4))
         losses.append(float(metrics["loss"]))
     assert np.all(np.isfinite(losses)), losses
@@ -148,7 +148,10 @@ def test_multihost_dp_rehearsal(rng):
             port = sock.getsockname()[1]
         procs = [
             subprocess.Popen(
-                [sys.executable, worker, str(pid), "2", str(port), "4"],
+                # 2 procs x 2 fake devices: multi-process sharding semantics
+                # are device-count-independent, and 4 fake devices halve the
+                # serialized single-CPU simulation vs the previous 8.
+                [sys.executable, worker, str(pid), "2", str(port), "2"],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
                 env=env,
@@ -188,14 +191,15 @@ def test_multihost_dp_rehearsal(rng):
     assert set(losses) == {0, 1}, outs
     assert losses[0] == losses[1]
 
-    # Single-process 8-device reference (same data derivation as the worker).
-    mesh = make_mesh()
-    model = SVDFormer(step1=2, step2=2, merge_points=128, local_points=128)
-    B, N, res = 8, 512, 32
+    # Single-process 4-device reference (same data derivation as the worker:
+    # global mesh = 2 procs x 2 fake devices).
+    mesh = make_mesh(jax.devices()[:4])
+    model = SVDFormer(step1=2, step2=2, merge_points=32, local_points=32)
+    B, N, res = 4, 256, 16
     r = np.random.RandomState(0)
     partial = r.rand(B, N, 3).astype(np.float32)
     depth = r.rand(B, 3, res, res).astype(np.float32)
-    gt = r.rand(B, 1024, 3).astype(np.float32)
+    gt = r.rand(B, 512, 3).astype(np.float32)
     optimizer = make_optimizer()
     state = create_train_state(
         model,
