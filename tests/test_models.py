@@ -44,11 +44,13 @@ def test_svdformer_shapes(rng, small_svdformer):
 def test_svdformer_train_mode_updates_batch_stats(rng, small_svdformer):
     partial, depth = _inputs(rng)
     model = small_svdformer
-    variables = model.init(jax.random.PRNGKey(0), partial, depth, train=True)
-    assert "batch_stats" in variables
-    outs, mutated = model.apply(
-        variables, partial, depth, train=True, mutable=["batch_stats"]
+    variables = jax.jit(lambda k, p, d: model.init(k, p, d, train=True))(
+        jax.random.PRNGKey(0), partial, depth
     )
+    assert "batch_stats" in variables
+    outs, mutated = jax.jit(
+        lambda v, p, d: model.apply(v, p, d, train=True, mutable=["batch_stats"])
+    )(variables, partial, depth)
     assert "batch_stats" in mutated
     # Running stats must actually change.
     before = jax.tree_util.tree_leaves(variables["batch_stats"])
@@ -85,16 +87,16 @@ def test_svdformer_55_decoder_variant(rng):
         step1=2, step2=2, merge_points=128, local_points=128, sdg_decoder=False
     )
     partial, depth = _inputs(rng)
-    variables = model.init(jax.random.PRNGKey(0), partial, depth)
-    coarse, fine1, fine2 = model.apply(variables, partial, depth)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), partial, depth)
+    coarse, fine1, fine2 = jax.jit(model.apply)(variables, partial, depth)
     assert fine2.shape == (B, 512, 3)
 
 
 def test_geospecnet_shapes(rng):
     model = GeoSpecNet(step1=2, step2=2, merge_points=128, local_points=128)
     partial, depth = _inputs(rng)
-    variables = model.init(jax.random.PRNGKey(0), partial, depth)
-    coarse, fine1, fine2 = model.apply(variables, partial, depth)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), partial, depth)
+    coarse, fine1, fine2 = jax.jit(model.apply)(variables, partial, depth)
     assert coarse.shape == (B, 256, 3)  # seed stage always emits 256 points
     assert fine2.shape == (B, 512, 3)
 
@@ -110,8 +112,8 @@ def test_discriminator_shapes(rng):
 def test_pointsea_shapes(rng):
     model = PointSea(step1=2, step2=2, merge_points=128, local_points=128)
     partial, depth = _inputs(rng, res=64, img_ch=3)
-    variables = model.init(jax.random.PRNGKey(0), partial, depth)
-    coarse, fine1, fine2 = model.apply(variables, partial, depth)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), partial, depth)
+    coarse, fine1, fine2 = jax.jit(model.apply)(variables, partial, depth)
     assert coarse.shape == (B, 256, 3)  # seed stage always emits 256 points
     assert fine1.shape == (B, 256, 3)
     assert fine2.shape == (B, 512, 3)

@@ -170,22 +170,25 @@ def test_multihost_dp_rehearsal(rng):
                     losses[int(pid)] = float(val)
         return losses, outs
 
-    # One retry: gloo's 30 s collective-context deadline can expire under
-    # heavy CPU starvation (two workers sharing one core with the compile
-    # threads); a genuine sharding bug fails deterministically on both tries.
-    losses, outs = run_pair()
-    if losses is None:
-        losses, outs = run_pair()
-    if losses is None:
+    def starved(outs):
         blob = "\n".join(outs)
-        if "Gloo context initialization failed" in blob or (
+        return "Gloo context initialization failed" in blob or (
             "Shutdown barrier" in blob
-        ):
-            # Infra, not product: gloo's fixed 30 s collective-context
-            # deadline expires when this single-CPU host starves one of the
-            # two workers (typically under a concurrently running suite).
-            # A genuine sharding bug fails both attempts *without* this
-            # signature and still reaches the assert below.
+        )
+
+    losses, outs = run_pair()
+    if losses is None and starved(outs):
+        # Infra, not product: gloo's fixed 30 s collective-context deadline
+        # expires when this single-CPU host starves one of the two workers
+        # (typically under a concurrently running suite). Retrying under the
+        # same contention just burns minutes (measured: 2x ~225 s attempts,
+        # then skip anyway) — skip on the first clear starvation signature.
+        pytest.skip("gloo collective-context starvation (single-CPU host)")
+    if losses is None:
+        # Non-starvation failure: retry once to de-flake, then assert hard —
+        # a genuine sharding bug fails deterministically on both tries.
+        losses, outs = run_pair()
+        if losses is None and starved(outs):
             pytest.skip("gloo collective-context starvation (single-CPU host)")
     assert losses is not None, outs[0][-1500:] + outs[1][-1500:]
     assert set(losses) == {0, 1}, outs
