@@ -9,14 +9,16 @@ Usage:
     from tools.tpu_microbench import device_time_ms
     ms = device_time_ms(fn, args, iters=10)
 
-CAVEATS (2026-08-17):
-- ``jax.profiler.trace`` can HANG indefinitely over the axon tunnel
-  (observed after working earlier in the same round). If this tool stalls,
-  fall back to ``chained_time_ms`` below, which needs no profiler.
-- Device-time sums here exclude host/dispatch gaps and may under-attribute
-  Pallas custom calls — treat as a per-op lens, not end-to-end truth
-  (e.g. the full train step measured 82 ms device-only vs 221 ms
-  end-to-end at B12).
+CAVEATS:
+- (2026-08-18) ``fn`` must return ALL live outputs. Returning a subset
+  (e.g. just the metrics of a train step) lets XLA dead-code-eliminate the
+  rest — round 1's "82 ms device time for the train step" was a
+  forward-only executable measured this way; the full step is ~213 ms at
+  B12 and xplane agrees with chained wall clock once nothing is DCE'd.
+- (2026-08-17) ``jax.profiler.trace`` HUNG indefinitely over the axon
+  tunnel for most of rounds 1-2 (recovered 2026-08-18 — environment, not
+  code). If this tool stalls, fall back to ``chained_time_ms`` below,
+  which needs no profiler.
 """
 
 from __future__ import annotations
@@ -58,6 +60,8 @@ def device_time_ms(fn, args, iters: int = 10, top: int = 0):
     """Run jit(fn)(*args) ``iters`` times under trace; return device ms/iter.
 
     With ``top`` > 0, also print the top-N ops by summed device time.
+    ``fn`` must return every output that should stay live — see the module
+    docstring's DCE caveat.
     """
     f = jax.jit(fn)
     out = f(*args)
