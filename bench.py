@@ -77,11 +77,18 @@ def main() -> None:
 
     def make_pipeline(batch):
         @jax.jit
-        def pipeline(variables, partial):
+        def pipeline(variables, partial, s):
+            # In-jit chain: the input depends on the previous call's scalar,
+            # so iterations serialize device-side without any eager op
+            # (an eager chaining add costs ~80 ms/iter of tunnel round
+            # trips and poisons the measurement; verified in-jit chaining
+            # == unchained at 144.8 vs 144.9 ms, bs40).
+            p = partial + s * 1e-20
             depth = _pcviews_render(
-                partial, rot=rot, translation=translation, resolution=224
+                p, rot=rot, translation=translation, resolution=224
             )
-            return model.apply(variables, partial, depth, train=False)[-1]
+            out = model.apply(variables, p, depth, train=False)[-1]
+            return out, jnp.sum(out[:, 0, 0])
 
         return pipeline
 
@@ -97,31 +104,31 @@ def main() -> None:
     for bs in (8, 16, 32, 40, 64, 80):
         partial = jnp.asarray(rng.rand(bs, N, 3).astype(np.float32) * 0.5 - 0.25)
         pipeline = make_pipeline(bs)
+        s = jnp.float32(0.0)
         try:
-            out = pipeline(variables, partial)
+            out, s = pipeline(variables, partial, s)
             out.block_until_ready()
         except Exception:
             continue
-        # steady-state timing: chained dispatches, one final block (the
-        # memory-documented tunnel-safe recipe — per-call blocking would
-        # measure tunnel latency, not device time).
+        # steady-state timing: every iteration's input depends on the
+        # previous output (in-jit chain), one float() sync at the end.
         n_iter = 10
         t0 = time.perf_counter()
         for _ in range(n_iter):
-            out = pipeline(variables, partial)
-        out.block_until_ready()
+            out, s = pipeline(variables, partial, s)
+        _ = float(s)
         dt = (time.perf_counter() - t0) / n_iter
         rate = bs / dt
         if rate > best:
             best, best_bs, best_dt = rate, bs, dt
-            best_pipeline, best_args = pipeline, partial
+            best_pipeline, best_args = pipeline, (partial, jnp.float32(0.0))
 
     # MFU: XLA cost analysis of the winning executable (per-call FLOPs).
     mfu = None
     flops_per_completion = None
     try:
         cost = (
-            best_pipeline.lower(variables, best_args).compile().cost_analysis()
+            best_pipeline.lower(variables, *best_args).compile().cost_analysis()
         )
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

@@ -6,9 +6,10 @@ other end of the serving envelope: end-to-end latency of ONE partial cloud
 latency/throughput trade-off is documented.
 
 Timing recipe (memory-documented axon gotcha): chain a data dependency
-through every iteration — the next call's input adds a tiny multiple of the
-previous output — and fetch a final scalar with float(). Unchained
-block_until_ready can return at RPC ack and read 10x fast.
+through every iteration INSIDE the jitted fn — the input perturbation must
+be part of the compiled graph. An EAGER chaining add costs ~80 ms/iter of
+tunnel round trips and poisons the measurement (verified: in-jit chaining
+== unchained at 144.8 vs 144.9 ms, bs40 pipeline). Final sync via float().
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python tools/latency_bench.py
 """
@@ -41,12 +42,13 @@ def main() -> None:
     rng = np.random.RandomState(0)
 
     @jax.jit
-    def pipeline(variables, partial):
+    def pipeline(variables, partial, s):
+        # In-jit chain: input depends on the previous call's scalar.
+        p = partial + s * 1e-20
         depth = _pcviews_render(
-            partial, rot=rot, translation=translation, resolution=224
+            p, rot=rot, translation=translation, resolution=224
         )
-        out = model.apply(variables, partial, depth, train=False)[-1]
-        # Chain hook: a scalar the caller folds into the next input.
+        out = model.apply(variables, p, depth, train=False)[-1]
         return out, jnp.sum(out[:, 0, 0])
 
     init = jnp.asarray(rng.rand(2, N, 3).astype(np.float32) * 0.5)
@@ -57,13 +59,12 @@ def main() -> None:
     results = {}
     for bs in (1, 2, 4, 8):
         partial = jnp.asarray(rng.rand(bs, N, 3).astype(np.float32) * 0.5 - 0.25)
-        out, s = pipeline(variables, partial)  # compile + warm
+        s = jnp.float32(0.0)
+        out, s = pipeline(variables, partial, s)  # compile + warm
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            # data-dependency chain: input depends on the previous output
-            partial_c = partial + s * 1e-20
-            out, s = pipeline(variables, partial_c)
+            out, s = pipeline(variables, partial, s)
         _ = float(s)  # the only sync the tunnel respects
         dt = (time.perf_counter() - t0) / ITERS
         results[f"bs{bs}"] = {
