@@ -41,6 +41,11 @@ def _parser(track: str) -> argparse.ArgumentParser:
         "bf16 image-trunk compute + bf16 flash-attention inputs; default f32 "
         "is the reference-faithful path)",
     )
+    p.add_argument(
+        "--sp", type=int, default=None,
+        help="sequence-parallel axis size (>1 shards SDG tokens over a 2-D "
+        "(data, sp) mesh; must divide the device count; default 1 = pure DP)",
+    )
     if track == "55":
         p.add_argument(
             "--mode", default=None, choices=["easy", "median", "hard"],
@@ -64,6 +69,10 @@ def _apply_overrides(cfg: Config, args) -> Config:
         import dataclasses
 
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, precision=args.precision))
+    if getattr(args, "sp", None):
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, sp=args.sp))
     return cfg
 
 

@@ -75,6 +75,11 @@ class TrainConfig:
     adv_d_lr: float = 1e-4
     adv_d_steps: int = 1
     gan_weight: float = 0.05  # GeoSpec GAN loss weight
+    # Sequence-parallel axis size (parallel/sp.py): >1 builds a 2-D
+    # (data, sp) mesh and shards the SDG token axes over sp chips. Must
+    # divide the device count. Default 1 = pure data parallelism (the
+    # reference-equivalent strategy).
+    sp: int = 1
     # Training compute precision: "f32" (reference-faithful default) or
     # "bf16" (TPU mixed precision: bf16 image-trunk compute + bf16
     # flash-attention inputs, params/optimizer f32 — nn/precision.py).

@@ -114,7 +114,17 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
     state = init_state(cfg, model, optimizer, seed=cfg.seed)
     logging.info("Parameters: %d", count_parameters(state.params))
 
-    mesh = make_mesh_for_batch(tcfg.batch_size)
+    sp = int(getattr(tcfg, "sp", 1))
+    if sp > 1:
+        # Opt-in sequence parallelism (parallel/sp.py): 2-D (data, sp)
+        # mesh; SDG token axes shard over sp chips. Trace-time switch —
+        # must precede the first trace, like set_mixed_precision above.
+        from svdformer_pointsea_tpu.parallel import enable_sp, make_mesh_2d
+
+        mesh = make_mesh_2d(sp)
+        enable_sp(mesh)
+    else:
+        mesh = make_mesh_for_batch(tcfg.batch_size)
     state = jax.device_put(state, replicated_sharding(mesh))
 
     # Optional adversarial branch on the 55 track (core/train_55.py:115-122,

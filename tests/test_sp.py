@@ -97,6 +97,26 @@ def test_sp_forward_matches_unsharded(rng, sp_mesh):
 
 
 @pytest.mark.heavy
+def test_sp_train_net_end_to_end(tmp_path, rng):
+    """cfg.train.sp=4 (the --sp CLI path): train_net builds the 2-D
+    (data, sp) mesh, trains an epoch, evals, checkpoints. Run on the faked
+    8-device backend -> (data=2, sp=4)."""
+    import dataclasses
+
+    from svdformer_pointsea_tpu.train import train_net
+    from test_orchestration import _tiny_pcn_config
+
+    cfg = _tiny_pcn_config(tmp_path, rng)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, sp=4))
+    try:
+        state, best = train_net(cfg, max_epochs=1)
+    finally:
+        disable_sp()  # train_net's trace-time switch is process-lifetime
+    assert np.isfinite(best)
+    assert int(state.step) == 2
+
+
+@pytest.mark.heavy
 def test_sp_train_step_matches_unsharded(rng, sp_mesh):
     """One DP+SP train step == the same step on one device (loss and params)."""
     model = _small_model()
