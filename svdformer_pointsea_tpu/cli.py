@@ -87,6 +87,11 @@ def _dispatch(cfg: Config, args, mode=None) -> None:
     pprint(cfg)
     if not args.test and not args.inference:
         if cfg.network.model == "geospecnet":
+            if int(getattr(cfg.train, "sp", 1)) > 1:
+                raise SystemExit(
+                    "--sp is wired for train_net tracks only (PCN/55/"
+                    "PointSea); the GeoSpec GAN trainer runs pure DP."
+                )
             # GeoSpec two-optimizer GAN trainer (core/train_geospec.py).
             train_net_gan(cfg)
         else:
@@ -97,6 +102,13 @@ def _dispatch(cfg: Config, args, mode=None) -> None:
         if cfg.weights is None:
             raise SystemExit(
                 "Please specify the path to a checkpoint (--weights)!"
+            )
+        if int(getattr(cfg.train, "sp", 1)) > 1:
+            # Sequence parallelism is wired only for training (train_net
+            # builds the 2-D mesh); silently ignoring it on eval would let
+            # a user believe tokens were sharded.
+            raise SystemExit(
+                "--sp applies to training only; evaluation runs pure DP."
             )
         test_net(cfg, mode=mode)
 

@@ -101,17 +101,22 @@ class PCNDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def __getitem__(self, idx: int):
+    # Loader passes a per-(epoch, index) rng for deterministic threaded
+    # prefetch (data/pipeline.py); direct indexing uses the shared stream.
+    per_sample_rng = True
+
+    def __getitem__(self, idx: int, rng=None):
         s = self.samples[idx]
+        r = self.rng if rng is None else rng
         if self.subset == "train" and len(s.partial_paths) > 1:
-            ri = self.rng.randint(0, len(s.partial_paths))
+            ri = r.randint(0, len(s.partial_paths))
         else:
             ri = 0
         data = {
             "partial_cloud": IO.get(s.partial_paths[ri]).astype(np.float32),
             "gtcloud": IO.get(s.gt_path).astype(np.float32),
         }
-        data = self.transforms(data)
+        data = self.transforms(data, rng=rng)
         return s.taxonomy_id, s.model_id, data
 
 
@@ -145,7 +150,9 @@ class ShapeNet55Dataset:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def __getitem__(self, idx: int):
+    per_sample_rng = True  # no draws in __getitem__, accepted for uniformity
+
+    def __getitem__(self, idx: int, rng=None):
         s = self.samples[idx]
         gt = pc_norm(IO.get(s.gt_path).astype(np.float32)).astype(np.float32)
         return s.taxonomy_id, s.model_id, {"gtcloud": gt}
@@ -205,13 +212,15 @@ class KITTIDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def __getitem__(self, idx: int):
+    per_sample_rng = True
+
+    def __getitem__(self, idx: int, rng=None):
         s = self.samples[idx]
         data = {
             "partial_cloud": IO.get(s.partial_paths[0]).astype(np.float32),
             "bounding_box": IO.get(s.gt_path).astype(np.float32),
         }
-        data = self.transforms(data)
+        data = self.transforms(data, rng=rng)
         data.pop("bounding_box", None)
         return s.taxonomy_id, s.model_id, data
 

@@ -62,7 +62,9 @@ class Loader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
+        self._epoch = 0  # bumped per __iter__; feeds per-sample rng seeds
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -87,6 +89,39 @@ class Loader:
         batches = self._batches_indices()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        # Deterministic threaded augmentation: a dataset advertising
+        # ``per_sample_rng`` gets a fresh per-(seed, epoch, index)
+        # RandomState per __getitem__ — a SHARED stream consumed from
+        # worker threads would race on interleaving order, making runs
+        # non-reproducible (the reference's process workers are seeded
+        # deterministically instead). Epoch is in the seed so augmentation
+        # still varies across epochs.
+        self._epoch += 1
+        epoch = self._epoch
+        if getattr(self.dataset, "per_sample_rng", False):
+
+            def fetch(i):
+                ss = np.random.SeedSequence([self.seed, epoch, int(i)])
+                return self.dataset.__getitem__(
+                    int(i), rng=np.random.RandomState(ss.generate_state(1)[0])
+                )
+
+        else:
+            fetch = self.dataset.__getitem__
+        # Set when the consumer abandons the iterator (e.g. a max_steps
+        # break mid-epoch): without it the producer blocks forever on
+        # q.put against the full queue, leaking the thread and keeping
+        # dataset IO running against the single CPU.
+        abandoned = threading.Event()
+
+        def _put(item) -> bool:
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             # A producer-side exception must reach the consumer: a silently
@@ -94,21 +129,28 @@ class Loader:
             try:
                 with ThreadPoolExecutor(max(1, self.num_workers)) as pool:
                     for chunk in batches:
-                        samples = list(pool.map(self.dataset.__getitem__, chunk))
-                        q.put(self._collate(samples))
-                q.put(sentinel)
+                        if abandoned.is_set():
+                            return
+                        samples = list(pool.map(fetch, chunk))
+                        if not _put(self._collate(samples)):
+                            return
+                _put(sentinel)
             except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Runs on generator close/GC too (early consumer break).
+            abandoned.set()
 
     def _collate(self, samples) -> Batch:
         valid = len(samples)

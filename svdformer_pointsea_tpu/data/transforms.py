@@ -215,12 +215,21 @@ class Compose:
         self.steps = steps
         self.rng = rng
 
-    def __call__(self, data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def __call__(
+        self,
+        data: Dict[str, np.ndarray],
+        rng: "np.random.RandomState | None" = None,
+    ) -> Dict[str, np.ndarray]:
+        # ``rng`` overrides the shared stream: the Loader passes a
+        # per-(epoch, index) RandomState so threaded prefetch stays
+        # run-to-run deterministic (a shared stream consumed from worker
+        # threads races on interleaving order).
+        r = self.rng if rng is None else rng
         for step in self.steps:
             cb = step["callback"]
             params = step.get("parameters", {})
             objects = step.get("objects", ())
-            rnd_value = self.rng.uniform(0, 1)
+            rnd_value = r.uniform(0, 1)
             if cb == "NormalizeObjectPose":
                 # Applied once to the whole sample, not per object key
                 # (utils/data_transforms.py:30-31); ``input_keys`` names the
@@ -236,19 +245,19 @@ class Compose:
                 if k not in objects:
                     continue
                 if cb == "UpSamplePoints":
-                    data[k] = up_sample_points(data[k], params["n_points"], self.rng)
+                    data[k] = up_sample_points(data[k], params["n_points"], r)
                 elif cb == "RandomSamplePoints":
-                    data[k] = random_sample_points(data[k], params["n_points"], self.rng)
+                    data[k] = random_sample_points(data[k], params["n_points"], r)
                 elif cb == "RandomMirrorPoints":
                     data[k] = random_mirror_points(data[k], rnd_value)
                 elif cb == "RandomRotatePoints":
                     data[k] = random_rotate_points(data[k], rnd_value)
                 elif cb == "ScalePoints":
-                    data[k] = scale_points(data[k], self.rng)
+                    data[k] = scale_points(data[k], r)
                 elif cb == "RandomClipPoints":
                     data[k] = random_clip_points(
                         data[k],
-                        self.rng,
+                        r,
                         sigma=params.get("sigma", 0.01),
                         clip=params.get("clip", 0.05),
                     )
@@ -263,7 +272,7 @@ class Compose:
                 elif cb == "RandomFlip":
                     data[k] = random_flip(data[k], rnd_value)
                 elif cb == "RandomPermuteRGB":
-                    data[k] = random_permute_rgb(data[k], self.rng)
+                    data[k] = random_permute_rgb(data[k], r)
                 elif cb == "RandomBackground":
                     data[k] = random_background(data[k], params["bg_color"], self.rng)
                 elif cb == "ToArray":

@@ -33,8 +33,11 @@ _SQRT_EPS = 1e-12
 
 def _batch_mean(d: Array, weights: Array | None) -> Array:
     """Mean over (B, N) distances; with ``weights`` (B,), a weighted mean of
-    per-sample means — pad rows (weight 0) contribute nothing, real rows get
-    exactly the unpadded batch-mean semantics."""
+    per-sample means — pad rows (weight 0) contribute nothing to the LOSS,
+    real rows get the unpadded batch-mean semantics. Caveat: train-mode
+    BatchNorm moments upstream are still computed over the padded batch
+    (repeated rows double-weighted), so activations are not bit-identical
+    to an unpadded step — see parallel/mesh.py::pad_batch."""
     if weights is None:
         return jnp.mean(d)
     per = jnp.mean(d, axis=1)

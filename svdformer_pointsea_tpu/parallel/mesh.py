@@ -12,6 +12,17 @@ Unlike DataParallel, batch norm statistics here are computed over the whole
 global batch when the model is jitted over the mesh (XLA all-reduces the
 batch moments) — strictly more consistent than the reference's per-replica
 stats; documented determinism delta.
+
+Multi-chip TPU caveat (untestable on this 1-chip box): the Pallas fast
+paths (VMEM FPS, fused NN-distance, flash attention) are gated on
+``jax.default_backend() == "tpu"`` and are NOT GSPMD-partitionable — on a
+real multi-chip TPU mesh XLA must all-gather their operands and run them
+replicated. All multi-device validation here runs on the CPU backend,
+where the XLA fallbacks (which GSPMD shards fine) are active. Before
+deploying DP on a real pod, either wrap the train step in ``shard_map``
+(each chip runs the Pallas kernels on its local batch shard — the natural
+fix) or disable the Pallas paths; see also parallel/sp.py, which already
+hands over to the XLA paths when token sharding is active.
 """
 
 from __future__ import annotations
@@ -73,9 +84,16 @@ def pad_batch(batch: Any, mesh: Mesh) -> tuple[Any, np.ndarray]:
     """Pad every leaf's leading (batch) axis up to a multiple of the mesh
     size by repeating rows cyclically, and return ``(padded, weights)``
     where ``weights`` is 1.0 for real rows and 0.0 for pads — feed it to the
-    loss so pad rows contribute nothing (the fixed-shape, exact-loss
+    loss so pad rows contribute nothing to the loss VALUE (the fixed-shape
     alternative to DataParallel's uneven scatter). On a 2-D (data, sp) mesh
-    the batch only shards over the data axis, so pad to that size."""
+    the batch only shards over the data axis, so pad to that size.
+
+    Known delta when batch % devices != 0: train-mode BatchNorm computes
+    batch moments over the PADDED batch, double-weighting the repeated rows
+    in the BN statistics (and through them perturbing every row's
+    activations/gradients slightly). The reference has its own BN
+    inconsistency here instead — DataParallel keeps per-replica stats over
+    uneven shards. Documented in docs/PARITY.md."""
     n = dict(mesh.shape).get(DATA_AXIS, mesh.devices.size)
     leaves = jax.tree_util.tree_leaves(batch)
     b = leaves[0].shape[0]

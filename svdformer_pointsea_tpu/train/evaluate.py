@@ -163,15 +163,24 @@ def make_kitti_eval_fn(model, render: PCViews):
 
     Fidelity (PCN-paper KITTI metric): mean distance from each input point
     to its nearest neighbour in the completion — computable without ground
-    truth. Consistency (frame-to-frame) needs tracklet pairing and is out of
-    scope, as in the reference (which ships no KITTI loader at all)."""
+    truth. KITTI scans usually have fewer than n_points real points and
+    RandomSamplePoints zero-pads them (utils/data_transforms.py:175-186);
+    the model input keeps that reference-faithful padding, but the metric
+    masks the pad rows — averaging origin->completion distances over
+    thousands of (0,0,0) rows would dominate the number. Consistency
+    (frame-to-frame) needs tracklet pairing and is out of scope, as in the
+    reference (which ships no KITTI loader at all)."""
     from svdformer_pointsea_tpu.ops import nn_squared_distance
 
     @jax.jit
     def fn(variables, partial):
         depth = render.render(partial)
         preds = model.apply(variables, partial, depth, train=False)
-        fidelity = jnp.sqrt(nn_squared_distance(partial, preds[-1])).mean(axis=1)
+        d = jnp.sqrt(nn_squared_distance(partial, preds[-1]))  # (B, N)
+        real = (jnp.sum(jnp.abs(partial), axis=-1) > 0).astype(d.dtype)
+        fidelity = jnp.sum(d * real, axis=1) / jnp.maximum(
+            jnp.sum(real, axis=1), 1.0
+        )
         return preds[-1], fidelity
 
     return fn

@@ -350,7 +350,9 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
 
     mesh = make_mesh_for_batch(tcfg.batch_size)
     state = jax.device_put(state, replicated_sharding(mesh))
-    render = PCViews(trans=-cfg.network.view_distance, resolution=224)
+    from svdformer_pointsea_tpu.render import make_renderer
+
+    render = make_renderer(cfg)  # honors cfg.network.resolution
     # Depth rendering fused into the jitted step — one dispatch per batch.
     step_fn = make_gan_train_step(
         g_model, d_model, g_opt, d_opt, tcfg.gan_weight, render_fn=render.render

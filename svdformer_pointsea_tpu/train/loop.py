@@ -202,6 +202,7 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
         losses = AverageMeter(["cdc", "cd1", "cd2"])
         data_time = AverageMeter()
         batch_time = AverageMeter()
+        n_epoch_batches = 0
         pending = []  # (step, lr, device metrics) — fetched once per epoch
         for batch in train_loader:
             timer.mark_data()
@@ -232,8 +233,12 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
             global_step += 1
             # Defer the device->host metric fetch: float() here would block
             # on the step and serialize dispatch with compute. Metrics are
-            # tiny scalars; collect them and sync once per epoch.
+            # tiny scalars; collect them and sync once per epoch. NOTE this
+            # makes mark_batch measure DISPATCH time only (the device runs
+            # behind); the honest per-step wall clock is computed below
+            # after the epoch-end sync.
             pending.append((global_step, lr, metrics))
+            n_epoch_batches += 1
             timer.mark_batch(global_step)
             data_time.update(timer.data_time)
             batch_time.update(timer.batch_time)
@@ -252,13 +257,18 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
             logger.add_scalar("Train/lr", float(lr_i), int(step_i))
         pending.clear()
 
+        # jax.device_get(pending) above blocked on every step, so the epoch
+        # wall clock here is the honest end-to-end figure; `dispatch=` is
+        # host-side enqueue only (the device runs behind the loop).
         logging.info(
-            "Epoch %d/%d t=%.1fs data=%.3fs/it batch=%.3fs/it losses(x1e3)=%s",
+            "Epoch %d/%d t=%.1fs data=%.3fs/it dispatch=%.3fs/it "
+            "step=%.3fs/it losses(x1e3)=%s",
             epoch,
             n_epochs,
             time.time() - epoch_t0,
             data_time.avg(),
             batch_time.avg(),
+            (time.time() - epoch_t0) / max(n_epoch_batches, 1),
             [f"{v:.3f}" for v in losses.avg()],
         )
 

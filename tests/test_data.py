@@ -421,3 +421,117 @@ def test_shapenet34_presets_and_index_format(tmp_path, rng):
     # pc_norm applied: centered, unit-sphere.
     np.testing.assert_allclose(gt.mean(0), 0, atol=1e-4)
     assert np.linalg.norm(gt, axis=1).max() <= 1.0 + 1e-5
+
+
+def test_kitti_fidelity_masks_pad_rows(rng):
+    """KITTI fidelity must average over REAL input points only: the loader
+    zero-pads scans shorter than n_points (transforms.random_sample_points),
+    and origin->completion distances from pad rows would otherwise dominate
+    the metric (most KITTI scans have far fewer than 2048 points)."""
+    from svdformer_pointsea_tpu.nn import SVDFormer
+    from svdformer_pointsea_tpu.ops import nn_squared_distance
+    from svdformer_pointsea_tpu.render import PCViews
+    from svdformer_pointsea_tpu.train.evaluate import make_kitti_eval_fn
+    import jax
+
+    model = SVDFormer(step1=2, step2=2, merge_points=32, local_points=32)
+    render = PCViews(trans=-0.7, resolution=16)
+    N, n_real = 128, 37
+    partial = np.zeros((1, N, 3), np.float32)
+    partial[0, :n_real] = rng.rand(n_real, 3).astype(np.float32) * 0.4 + 0.1
+    partial = jnp.asarray(partial)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), partial, render.get_img(partial)
+    )
+    eval_fn = make_kitti_eval_fn(model, render)
+    preds, fid = eval_fn(variables, partial)
+
+    d = np.sqrt(np.asarray(nn_squared_distance(partial, preds[None][0])))
+    expected = d[0, :n_real].mean()
+    np.testing.assert_allclose(float(fid[0]), expected, rtol=1e-5)
+    # and it must differ from the naive all-rows mean (pad rows excluded)
+    assert not np.isclose(float(fid[0]), d[0].mean(), rtol=1e-3)
+
+
+def test_loader_abandoned_iterator_releases_producer(rng):
+    """Breaking out of a Loader mid-epoch (max_steps) must not leave the
+    prefetch producer blocked on the full queue forever."""
+    import threading
+    import time as _time
+
+    class SlowDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return ("t", f"m{i}", {"x": np.zeros((4, 3), np.float32)})
+
+    loader = Loader(SlowDataset(), batch_size=2, prefetch=2, num_workers=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # consumer abandons mid-epoch
+    deadline = _time.time() + 10.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_loader_runs_are_reproducible(tmp_path, rng):
+    """Two Loaders with the same seed must yield IDENTICAL batches despite
+    threaded prefetch: per-(seed, epoch, index) rng seeding removes the
+    shared-stream thread race (reference process workers are seeded
+    deterministically; a raced stream made runs non-reproducible)."""
+    # Build a tiny PCN tree inline (train subset with 4 renderings so the
+    # rendering pick exercises the per-sample rng).
+    import json as _json
+
+    ids = ["m0", "m1", "m2", "m3", "m4"]
+    index = tmp_path / "ShapeNet.json"
+    index.write_text(_json.dumps(
+        [{"taxonomy_id": "02691156", "taxonomy_name": "plane",
+          "train": ids, "val": ids[:1], "test": ids[:1]}]
+    ))
+    root = tmp_path / "pcn"
+    for mid in ids:
+        cdir = root / "train" / "complete" / "02691156"
+        cdir.mkdir(parents=True, exist_ok=True)
+        write_pcd(str(cdir / f"{mid}.pcd"), rng.rand(64, 3).astype(np.float32))
+        pdir = root / "train" / "partial" / "02691156" / mid
+        pdir.mkdir(parents=True, exist_ok=True)
+        for i in range(4):
+            write_pcd(str(pdir / f"{i:02d}.pcd"),
+                      rng.rand(50, 3).astype(np.float32))
+
+    import dataclasses
+    cfg = pcn_config()
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data,
+        category_file=str(index),
+        n_renderings=4,
+        n_points=64,
+        partial_points_path=str(root) + "/%s/partial/%s/%s/%02d.pcd",
+        complete_points_path=str(root) + "/%s/complete/%s/%s.pcd",
+    ))
+
+    def run():
+        ds = make_dataset(cfg, "train", seed=7)
+        loader = Loader(ds, batch_size=2, shuffle=True, seed=7, num_workers=4)
+        epochs = []
+        for _ in range(2):  # augmentation must differ ACROSS epochs...
+            epochs.append([{k: v.copy() for k, v in b.data.items()}
+                           for b in loader])
+        return epochs
+
+    a, b = run(), run()
+    # ...but be identical ACROSS runs, epoch by epoch, batch by batch.
+    for ea, eb in zip(a, b):
+        for ba, bb in zip(ea, eb):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+    # and epoch 1 != epoch 2 within a run (rendering pick / mirror vary)
+    diff = any(
+        not np.array_equal(ba[k], bb[k])
+        for ba, bb in zip(a[0], a[1]) for k in ba
+    )
+    assert diff, "augmentation did not vary across epochs"
