@@ -31,6 +31,7 @@ from svdformer_pointsea_tpu.nn.svdformer import (
 )
 from svdformer_pointsea_tpu.ops import furthest_point_sample, gather_points
 from svdformer_pointsea_tpu.ops.distances import nn_squared_distance
+from svdformer_pointsea_tpu.parallel.sp import shard_tokens
 
 Array = jax.Array
 
@@ -62,6 +63,9 @@ class PointSeaSDG(linen.Module):
         B, N, _ = coarse.shape
         ch, hidden, ratio = self.channel, self.hidden_dim, self.ratio
 
+        # Sequence-parallel hints, mirroring nn/svdformer.py::SDG — no-ops
+        # unless parallel.enable_sp is active.
+        coarse = shard_tokens(coarse)
         F = linen.Dense(64, name="conv_x")(coarse)
         F = linen.Dense(ch, name="conv_x1")(jax.nn.gelu(F, approximate=False))
         g = linen.Dense(256, name="conv_11")(f_g)
@@ -74,7 +78,7 @@ class PointSeaSDG(linen.Module):
         # SVDFormer SDG: no gradient flows through this chamfer.
         half_cd = nn_squared_distance(coarse, partial) / self.sigma
         emb = SinusoidalPositionalEmbedding(hidden, name="embedding")(half_cd)
-        pos = jnp.swapaxes(emb.reshape(B, hidden, N), 1, 2)
+        pos = shard_tokens(jnp.swapaxes(emb.reshape(B, hidden, N), 1, 2))
 
         F_Q = SelfAttentionBlock(ch * 2, hidden, nhead=8, name="sa1")(F, pos=pos)
         F_Q_ = PointSeaSDGDecoder(hidden, name="decoder1")(F_Q)
@@ -106,11 +110,11 @@ class PointSeaSDG(linen.Module):
         F_L = score * F_Q_ + (1 - score) * F_H_
 
         F_L = linen.Dense(ch * ratio, name="conv_ps")(F_L)
-        F_L = torch_channel_reshape(F_L, ch, N * ratio)
+        F_L = shard_tokens(torch_channel_reshape(F_L, ch, N * ratio))
         F_L = linen.Dense(ch, name="conv_delta")(F_L)
         O_L = linen.Dense(64, name="conv_out1")(F_L)
         O_L = linen.Dense(3, name="conv_out")(jax.nn.gelu(O_L, approximate=False))
-        fine = jnp.tile(coarse, (1, ratio, 1)) + O_L
+        fine = shard_tokens(jnp.tile(coarse, (1, ratio, 1)) + O_L)
         return fine, F_L
 
 

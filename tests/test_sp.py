@@ -144,3 +144,28 @@ def test_sp_train_step_matches_unsharded(rng, sp_mesh):
     # of near-zero gradients.
     for x, y in zip(la, lb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0, atol=2.5e-4)
+
+
+@pytest.mark.heavy
+def test_sp_pointsea_forward_matches_unsharded(rng, sp_mesh):
+    """PointSea's own SDGs carry the sp hints too: eval forward under
+    (data=2, sp=4) == single-device forward."""
+    from svdformer_pointsea_tpu.nn import PointSea
+
+    model = PointSea(step1=2, step2=2, merge_points=32, local_points=32)
+    B, N, res = 2, 256, 32
+    partial = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+    depth = jnp.asarray(rng.rand(B * 3, res, res, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), partial, depth)
+
+    fwd = jax.jit(lambda v, p, d: model.apply(v, p, d, train=False))
+    v_sh = jax.device_put(variables, replicated_sharding(sp_mesh))
+    bsh = batch_sharding(sp_mesh)
+    out_sp = fwd(v_sh, jax.device_put(partial, bsh), jax.device_put(depth, bsh))
+
+    disable_sp()
+    fwd1 = jax.jit(lambda v, p, d: model.apply(v, p, d, train=False))
+    out_ref = fwd1(variables, partial, depth)
+
+    for a, b in zip(out_sp, out_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-5)
