@@ -27,7 +27,7 @@ from svdformer_pointsea_tpu.nn.precision import (
     mixed_precision_enabled,
     set_mixed_precision,
 )
-from svdformer_pointsea_tpu.nn.resnet import ImageTrunk, ResNet18, set_trunk_bf16
+from svdformer_pointsea_tpu.nn.resnet import ImageTrunk, ResNet18, set_trunk_bf16, set_trunk_s2d
 from svdformer_pointsea_tpu.nn.svdformer import SVDFormer
 from svdformer_pointsea_tpu.nn.geospecnet import (
     GeoSpecNet,
@@ -51,6 +51,7 @@ __all__ = [
     "PointNetSAModule",
     "PointNetFPModule",
     "set_trunk_bf16",
+    "set_trunk_s2d",
     "set_mixed_precision",
     "mixed_precision_enabled",
     "ImageTrunk",

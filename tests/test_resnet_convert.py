@@ -108,3 +108,74 @@ def test_basic_block_matches_torch(rng):
     }
     j_out = Mini().apply({"params": params, "batch_stats": stats}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(j_out), t_out, atol=2e-5)
+
+
+def test_trunk_s2d_matches_unpacked(rng):
+    """The packed space-to-depth execution of ImageTrunk's full-resolution
+    stage must match the unpacked path to f32 reduction-order round-off, in
+    BOTH eval and train mode (incl. identical batch-stats updates), with the
+    SAME parameter tree (checkpoints/converter oblivious)."""
+    import jax
+    import jax.numpy as jnp
+    from svdformer_pointsea_tpu.nn import ImageTrunk
+    from svdformer_pointsea_tpu.nn.resnet import set_trunk_s2d
+
+    x = jnp.asarray(rng.rand(4, 32, 32, 1), jnp.float32)
+    model = ImageTrunk(feat_size=16)
+
+    set_trunk_s2d(True)
+    try:
+        v_packed = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        out_p = jax.jit(model.apply)(v_packed, x)
+        (out_pt, mut_p) = jax.jit(
+            lambda v, x: model.apply(v, x, train=True, mutable=["batch_stats"])
+        )(v_packed, x)
+    finally:
+        set_trunk_s2d(False)
+
+    v_ref = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    # Identical parameter tree (names AND values: same init streams).
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v_packed["params"], v_ref["params"],
+    )
+    out_r = jax.jit(model.apply)(v_ref, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-5)
+
+    (out_rt, mut_r) = jax.jit(
+        lambda v, x: model.apply(v, x, train=True, mutable=["batch_stats"])
+    )(v_ref, x)
+    np.testing.assert_allclose(np.asarray(out_pt), np.asarray(out_rt), atol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(mut_p["batch_stats"]),
+        jax.tree_util.tree_leaves(mut_r["batch_stats"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # Gradients agree too (the packed kernel rearrangement is differentiable).
+    def loss(v, variables):
+        return jnp.sum(
+            model.apply({"params": v, "batch_stats": variables["batch_stats"]}, x) ** 2
+        )
+
+    set_trunk_s2d(True)
+    try:
+        g_p = jax.jit(jax.grad(lambda v: loss(v, v_packed)))(v_packed["params"])
+    finally:
+        set_trunk_s2d(False)
+    g_r = jax.jit(jax.grad(lambda v: loss(v, v_ref)))(v_ref["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_trunk_s2d_odd_sizes_fall_back(rng):
+    """Odd image sizes use the unpacked path (no crash, same tree)."""
+    import jax
+    import jax.numpy as jnp
+    from svdformer_pointsea_tpu.nn import ImageTrunk
+
+    x = jnp.asarray(rng.rand(2, 31, 31, 1), jnp.float32)
+    model = ImageTrunk(feat_size=16)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(v, x)
+    assert out.shape == (2, 128) and np.all(np.isfinite(np.asarray(out)))
