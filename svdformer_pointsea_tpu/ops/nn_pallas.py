@@ -19,6 +19,14 @@ fused bidirectional kernel that reduces each tile along BOTH axes is
 direction reduces across sublanes (slow on the VPU) while each one-way
 pass reduces along lanes; recomputing the dx/dy/dz FMAs is cheaper than
 the cross-sublane min+argmin. Keep chamfer as two one-way calls.
+
+Negative result #2 (2026-08-18, tools/nn_mxu_probe.py): offloading the
+cross term to the MXU (d' = |b|^2 - 2ab with the dot at
+precision=HIGHEST, |a|^2 added after the min — exact to 1.5e-7, 6 argmin
+flips in 196k) is 2.4x SLOWER (32 vs 13.5 ms at B12 16384^2): the K=3
+f32-emulation matmul passes don't overlap the VPU min tracking. The
+difference-form kernel sits ~25% above its own VPU roofline (~10 ms of
+pure FMA+min throughput) — treat it as speed-of-light.
 """
 
 from __future__ import annotations
