@@ -81,15 +81,27 @@ def _trunk_dtype(train: bool):
 # aggregate the phases per original channel exactly like the unpacked op.
 # Numerics differ from the unpacked path only by f32 reduction order
 # (tests/test_resnet_convert.py::test_trunk_s2d_matches_unpacked).
-# Trace-time switch like set_trunk_bf16; default ON for even image sizes.
-_TRUNK_S2D = True
+#
+# The packing pays +78% conv FLOPs to fill the lanes. In TRAIN mode that
+# buys back the BN-stats HBM passes (fwd+bwd 61.3 -> 51.1 ms at B12); in
+# EVAL mode BN is a fused affine, so the extra FLOPs are a pure loss
+# (measured at bs40 inference: 143.1 -> 157.0 ms/call, -9% throughput,
+# tools/s2d_eval_probe.py). Default "train": packed in train-mode traces
+# only. Trace-time switch like set_trunk_bf16.
+_TRUNK_S2D: Any = "train"
 
 
-def set_trunk_s2d(enabled: bool) -> None:
-    """Trace-time switch for the packed space-to-depth ImageTrunk stage
-    (same before-first-trace caveat as ``set_trunk_bf16``)."""
+def set_trunk_s2d(enabled) -> None:
+    """Trace-time switch for the packed space-to-depth ImageTrunk stage:
+    ``"train"`` (default; packed in train-mode traces only), ``True``
+    (packed in eval too — slower on chip, used by the equivalence tests),
+    or ``False`` (same before-first-trace caveat as ``set_trunk_bf16``)."""
     global _TRUNK_S2D
     _TRUNK_S2D = enabled
+
+
+def _s2d_active(train: bool) -> bool:
+    return _TRUNK_S2D is True or (_TRUNK_S2D == "train" and train)
 
 
 def _pack_s2d(x: Array) -> Array:
@@ -344,7 +356,7 @@ class ImageTrunk(linen.Module):
         # conv + layer1 — both stride 1 at H x W with only fs channels);
         # see the module comment above _TRUNK_S2D. Identical parameter
         # tree; unpacked before layer2's strided conv.
-        s2d = _TRUNK_S2D and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        s2d = _s2d_active(train) and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         if s2d:
             xp = _pack_s2d(x)
             xp = PackedConv3x3(

@@ -131,7 +131,7 @@ def test_trunk_s2d_matches_unpacked(rng):
             lambda v, x: model.apply(v, x, train=True, mutable=["batch_stats"])
         )(v_packed, x)
     finally:
-        set_trunk_s2d(False)
+        set_trunk_s2d("train")
 
     v_ref = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     # Identical parameter tree (names AND values: same init streams).
@@ -162,7 +162,7 @@ def test_trunk_s2d_matches_unpacked(rng):
     try:
         g_p = jax.jit(jax.grad(lambda v: loss(v, v_packed)))(v_packed["params"])
     finally:
-        set_trunk_s2d(False)
+        set_trunk_s2d("train")
     g_r = jax.jit(jax.grad(lambda v: loss(v, v_ref)))(v_ref["params"])
     for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
