@@ -38,6 +38,11 @@ from tools.tpu_microbench import device_time_ms
 
 def main() -> None:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    if "bf16" in sys.argv[2:]:
+        from svdformer_pointsea_tpu.nn.precision import set_mixed_precision
+
+        set_mixed_precision(True)
+        print("mixed precision ON (bf16 trunk + flash inputs)")
     cfg = pcn_config()
     model = build_model(cfg)
     optimizer = make_optimizer(
