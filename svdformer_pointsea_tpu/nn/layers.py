@@ -196,10 +196,7 @@ def _scaled_attention(q: Array, k: Array, v: Array) -> Array:
     """softmax(q kᵀ / sqrt(dh)) v over (B, N, h, dh) tensors."""
     dh = q.shape[-1]
     if _flash_eligible(q, k):
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes,
-            flash_attention,
-        )
+        from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
         from svdformer_pointsea_tpu.nn.precision import mixed_precision_enabled
 
@@ -232,7 +229,11 @@ def _scaled_attention(q: Array, k: Array, v: Array) -> Array:
             block_k_dq=_bwd_block(bk.shape[2]),
             block_q_dq=_bwd_block(bq.shape[2]),
         )
-        out = flash_attention(bq, bk, bv, sm_scale=1.0 / np.sqrt(dh), block_sizes=bs)
+        # flash_attention_di128 == upstream flash_attention with a lean
+        # dq-backward di layout (see nn/flash_vjp.py); same Pallas kernels.
+        from svdformer_pointsea_tpu.nn.flash_vjp import flash_attention_di128
+
+        out = flash_attention_di128(bq, bk, bv, 1.0 / np.sqrt(dh), bs)
         return jnp.swapaxes(out, 1, 2).astype(dtype)
     attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dh)
     attn = jax.nn.softmax(attn, axis=-1)
