@@ -51,6 +51,13 @@ def _parser(track: str) -> argparse.ArgumentParser:
             "--mode", default=None, choices=["easy", "median", "hard"],
             help="eval crop difficulty",
         )
+        p.add_argument(
+            "--dataset", default="55", choices=["55", "34", "unseen21"],
+            help="index-file preset: ShapeNet-55, ShapeNet-34 (train on 34 "
+            "seen categories), or ShapeNet-Unseen21 (eval a 34-trained "
+            "model on the 21 held-out ones). The reference switches these "
+            "purely via CATEGORY_FILE_PATH (README:61-63).",
+        )
     if track == "geospec":
         p.add_argument("--run_id", type=int, default=0, help="run id tag")
     return p
@@ -126,7 +133,14 @@ def main_55(argv=None) -> None:
         format="[%(levelname)s] %(asctime)s %(message)s", level=logging.DEBUG
     )
     args = _parser("55").parse_args(argv)
-    cfg = shapenet55_config(mode=args.mode or "easy")
+    if args.dataset == "55":
+        cfg = shapenet55_config(mode=args.mode or "easy")
+    else:
+        from svdformer_pointsea_tpu.configs import shapenet34_config
+
+        cfg = shapenet34_config(
+            unseen=args.dataset == "unseen21", mode=args.mode or "easy"
+        )
     _dispatch(_apply_overrides(cfg, args), args, mode=args.mode)
 
 
