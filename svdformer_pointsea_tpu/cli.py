@@ -46,6 +46,12 @@ def _parser(track: str) -> argparse.ArgumentParser:
         help="sequence-parallel axis size (>1 shards SDG tokens over a 2-D "
         "(data, sp) mesh; must divide the device count; default 1 = pure DP)",
     )
+    p.add_argument(
+        "--dp", default=None, choices=["gspmd", "shard_map"],
+        help="DP implementation: gspmd (XLA partitions the jitted graph; "
+        "default) or shard_map (per-chip step body — keeps the Pallas fast "
+        "paths active on a multi-chip pod)",
+    )
     if track == "55":
         p.add_argument(
             "--mode", default=None, choices=["easy", "median", "hard"],
@@ -80,6 +86,10 @@ def _apply_overrides(cfg: Config, args) -> Config:
         import dataclasses
 
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, sp=args.sp))
+    if getattr(args, "dp", None):
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, dp=args.dp))
     return cfg
 
 

@@ -84,6 +84,13 @@ class TrainConfig:
     # "bf16" (TPU mixed precision: bf16 image-trunk compute + bf16
     # flash-attention inputs, params/optimizer f32 — nn/precision.py).
     precision: str = "f32"
+    # DP implementation: "gspmd" (jit + shardings; XLA partitions the
+    # graph) or "shard_map" (each chip runs the whole step body on its
+    # local batch shard — keeps the Pallas fast paths active per-chip on a
+    # real multi-chip pod, where GSPMD would all-gather around every
+    # pallas_call). Numerically equivalent (tests/test_shard_map.py);
+    # mutually exclusive with sp>1 and the adversarial branch.
+    dp: str = "gspmd"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,52 +31,70 @@ Array = jax.Array
 _SQRT_EPS = 1e-12
 
 
-def _batch_mean(d: Array, weights: Array | None) -> Array:
+def _batch_mean(d: Array, weights: Array | None, axis_name: str | None = None) -> Array:
     """Mean over (B, N) distances; with ``weights`` (B,), a weighted mean of
     per-sample means — pad rows (weight 0) contribute nothing to the LOSS,
     real rows get the unpadded batch-mean semantics. Caveat: train-mode
     BatchNorm moments upstream are still computed over the padded batch
     (repeated rows double-weighted), so activations are not bit-identical
-    to an unpadded step — see parallel/mesh.py::pad_batch."""
+    to an unpadded step — see parallel/mesh.py::pad_batch.
+
+    ``axis_name``: inside ``shard_map`` over a device mesh, psum the
+    numerator and denominator over that axis so the result is the GLOBAL
+    batch mean (a per-shard weight sum can legitimately be zero when a
+    shard is all pad rows — the global denominator never is)."""
     if weights is None:
-        return jnp.mean(d)
-    per = jnp.mean(d, axis=1)
-    return jnp.sum(per * weights) / jnp.sum(weights)
+        num = jnp.sum(jnp.mean(d, axis=1))
+        den = jnp.asarray(d.shape[0], d.dtype)
+    else:
+        per = jnp.mean(d, axis=1)
+        num = jnp.sum(per * weights)
+        den = jnp.sum(weights)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / den
 
 
-def chamfer(p1: Array, p2: Array, weights: Array | None = None) -> Array:
+def chamfer(p1: Array, p2: Array, weights: Array | None = None,
+            axis_name: str | None = None) -> Array:
     """mean(d1) + mean(d2) over squared distances (CD-L2-style sum)."""
     d1, d2, _, _ = chamfer_distance(p1, p2)
-    return _batch_mean(d1, weights) + _batch_mean(d2, weights)
+    return _batch_mean(d1, weights, axis_name) + _batch_mean(d2, weights, axis_name)
 
 
-def chamfer_sqrt(p1: Array, p2: Array, weights: Array | None = None) -> Array:
+def chamfer_sqrt(p1: Array, p2: Array, weights: Array | None = None,
+                 axis_name: str | None = None) -> Array:
     """(mean(sqrt d1) + mean(sqrt d2)) / 2 (CD-L1-style)."""
     d1, d2, _, _ = chamfer_distance(p1, p2)
     return (
-        _batch_mean(jnp.sqrt(d1 + _SQRT_EPS), weights)
-        + _batch_mean(jnp.sqrt(d2 + _SQRT_EPS), weights)
+        _batch_mean(jnp.sqrt(d1 + _SQRT_EPS), weights, axis_name)
+        + _batch_mean(jnp.sqrt(d2 + _SQRT_EPS), weights, axis_name)
     ) / 2
 
 
-def chamfer_single_side(p1: Array, p2: Array, weights: Array | None = None) -> Array:
+def chamfer_single_side(p1: Array, p2: Array, weights: Array | None = None,
+                        axis_name: str | None = None) -> Array:
     d1, _, _, _ = chamfer_distance(p1, p2)
-    return _batch_mean(d1, weights)
+    return _batch_mean(d1, weights, axis_name)
 
 
-def chamfer_single_side_sqrt(p1: Array, p2: Array, weights: Array | None = None) -> Array:
+def chamfer_single_side_sqrt(p1: Array, p2: Array, weights: Array | None = None,
+                             axis_name: str | None = None) -> Array:
     d1, _, _, _ = chamfer_distance(p1, p2)
-    return _batch_mean(jnp.sqrt(d1 + _SQRT_EPS), weights)
+    return _batch_mean(jnp.sqrt(d1 + _SQRT_EPS), weights, axis_name)
 
 
 def get_loss(pcds_pred, gt: Array, sqrt: bool = True, alpha1: float = 1.0, alpha2: float = 1.0,
-             weights: Array | None = None):
+             weights: Array | None = None, axis_name: str | None = None):
     """Pyramid chamfer loss (utils/loss_utils.py:33-58).
 
     Args:
         pcds_pred: (Pc, P1, P2) predicted clouds, channels-last.
         gt: (B, M, 3) complete cloud.
         weights: optional (B,) row weights — pad rows (0.0) are masked out.
+        axis_name: mesh axis to psum the batch reductions over when called
+            per-shard inside ``shard_map`` (train/state.py).
     Returns:
         (loss_total, [cdc, cd1, cd2])
     """
@@ -84,24 +102,24 @@ def get_loss(pcds_pred, gt: Array, sqrt: bool = True, alpha1: float = 1.0, alpha
     pc, p1, p2 = pcds_pred
     gt_1 = fps_subsample(gt, p1.shape[1])
     gt_c = fps_subsample(gt_1, pc.shape[1])
-    cdc = cd(pc, gt_c, weights)
-    cd1 = cd(p1, gt_1, weights)
-    cd2 = cd(p2, gt, weights)
+    cdc = cd(pc, gt_c, weights, axis_name)
+    cd1 = cd(p1, gt_1, weights, axis_name)
+    cd2 = cd(p2, gt, weights, axis_name)
     return cdc + alpha1 * cd1 + alpha2 * cd2, [cdc, cd1, cd2]
 
 
 def get_loss_pm(pcds_pred, partial: Array, gt: Array, sqrt: bool = True,
-                weights: Array | None = None):
+                weights: Array | None = None, axis_name: str | None = None):
     """Pyramid loss + partial matching term (utils/loss_utils.py:60-85)."""
     cd = chamfer_sqrt if sqrt else chamfer
     pm = chamfer_single_side_sqrt if sqrt else chamfer_single_side
     pc, p1, p2 = pcds_pred
     gt_1 = fps_subsample(gt, p1.shape[1])
     gt_c = fps_subsample(gt_1, pc.shape[1])
-    cdc = cd(pc, gt_c, weights)
-    cd1 = cd(p1, gt_1, weights)
-    cd2 = cd(p2, gt, weights)
-    partial_matching = pm(partial, p2, weights)
+    cdc = cd(pc, gt_c, weights, axis_name)
+    cd1 = cd(p1, gt_1, weights, axis_name)
+    cd2 = cd(p2, gt, weights, axis_name)
+    partial_matching = pm(partial, p2, weights, axis_name)
     return cdc + cd1 + cd2 + partial_matching, [cdc, cd1, cd2]
 
 

@@ -45,7 +45,49 @@ Array = jax.Array
 # Reference BatchNorms run with torch's default momentum 0.1, i.e. an EMA
 # decay of 0.9 (flax's ``momentum``); flax's default 0.99 updates running
 # stats 10x slower (caught by the train-mode oracle parity test).
-BatchNorm = functools.partial(linen.BatchNorm, momentum=0.9)
+#
+# Cross-device moment sync: under the GSPMD (pjit) DP path batch moments are
+# global automatically (XLA all-reduces the reductions). Under the shard_map
+# DP path each device traces on its LOCAL batch shard, so BatchNorm must
+# pmean its moments over the mesh axis to keep the two paths numerically
+# identical. Trace-time switch with the usual caveat (set before the first
+# trace; jit caches key on function identity — see set_flash_attention).
+_BN_AXIS_NAME: Optional[str] = None
+
+
+def set_bn_axis_name(name: Optional[str]) -> None:
+    """Sync train-mode BatchNorm moments over mesh axis ``name`` (for the
+    shard_map DP path; None restores purely-local moments)."""
+    global _BN_AXIS_NAME
+    _BN_AXIS_NAME = name
+
+
+def bn_axis_name() -> Optional[str]:
+    return _BN_AXIS_NAME
+
+
+class bn_axis:
+    """Context manager scoping :func:`set_bn_axis_name` to one trace region
+    (the shard_map train-step body wraps ``model.apply`` in it, so traces
+    outside shard_map in the same process keep local moments)."""
+
+    def __init__(self, name: Optional[str]):
+        self.name = name
+
+    def __enter__(self):
+        global _BN_AXIS_NAME
+        self.prev = _BN_AXIS_NAME
+        _BN_AXIS_NAME = self.name
+
+    def __exit__(self, *exc):
+        global _BN_AXIS_NAME
+        _BN_AXIS_NAME = self.prev
+        return False
+
+
+def BatchNorm(**kwargs):
+    """linen.BatchNorm with reference momentum and the mesh-axis switch."""
+    return linen.BatchNorm(momentum=0.9, axis_name=_BN_AXIS_NAME, **kwargs)
 
 
 class MLPConv(linen.Module):

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-# torch BatchNorm momentum 0.1 == flax EMA decay 0.9 (see nn/layers.py).
-BatchNorm = functools.partial(linen.BatchNorm, momentum=0.9)
+# torch BatchNorm momentum 0.1 == flax EMA decay 0.9; shares nn/layers.py's
+# factory so the shard_map DP moment-sync switch covers the trunks too.
+from svdformer_pointsea_tpu.nn.layers import BatchNorm, bn_axis_name
 
 # Optional bf16 compute for the image trunks at eval time (params stay f32;
 # output cast back to f32), worth ~3 ms/it at bs32 on v5e. Default OFF:
@@ -221,6 +222,12 @@ class PackedBatchNorm(linen.Module):
             xf = x.astype(jnp.float32)
             mean4 = jnp.mean(xf, axis=(0, 1, 2))  # (4C,)
             e2_4 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            axis = bn_axis_name()
+            if axis is not None:
+                # shard_map DP: equal-size shards, so pmean of per-shard
+                # moments is the exact global moment (nn/layers.py switch).
+                mean4 = jax.lax.pmean(mean4, axis)
+                e2_4 = jax.lax.pmean(e2_4, axis)
             mean_c = jnp.mean(mean4.reshape(4, C), axis=0)
             var_c = jnp.mean(e2_4.reshape(4, C), axis=0) - jnp.square(mean_c)
             if not self.is_initializing():

@@ -39,17 +39,57 @@ def _per_sample_metrics(pred, gt, sqrt_cd: bool):
     return cd * 1e3, dcd, f1
 
 
-def make_pcn_eval_fn(model, render: PCViews):
-    """Jitted (variables, partial, gt) -> stacked (3, B) metrics."""
+def make_pcn_eval_fn(model, render: PCViews, mesh=None):
+    """Jitted (variables, partial, gt) -> stacked (3, B) metrics.
 
-    @jax.jit
-    def fn(variables, partial, gt):
+    ``mesh``: wrap the body in ``jax.shard_map`` over the ``data`` axis —
+    per-sample metrics need no collectives, and the Pallas fast paths stay
+    active per-chip on a multi-chip pod (same rationale as the shard_map
+    train step, train/state.py). The batch must divide the mesh size (the
+    eval loops pad via :func:`_pad_eval_rows`)."""
+
+    def body(variables, partial, gt):
         depth = render.render(partial)
         preds = model.apply(variables, partial, depth, train=False)
         cd, dcd, f1 = _per_sample_metrics(preds[-1], gt, sqrt_cd=True)
         return jnp.stack([cd, dcd, f1])
 
-    return fn
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        body = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=P(None, "data"),
+            check_vma=False,  # constant-init scan carries, see train/state.py
+        )
+    return jax.jit(body)
+
+
+def _eval_mesh(cfg: Config):
+    """The mesh for shard_map evaluation when cfg.train.dp == "shard_map"
+    (None otherwise — the default jit path)."""
+    if str(getattr(cfg.train, "dp", "gspmd")) != "shard_map":
+        return None
+    from svdformer_pointsea_tpu.parallel import make_mesh
+
+    return make_mesh()
+
+
+def _pad_eval_rows(arrays, mesh):
+    """Pad each array's batch axis (cyclic repeat) to a multiple of the mesh
+    size. Metric consumers already slice to ``batch.valid``, so pad rows are
+    never read back."""
+    if mesh is None:
+        return arrays
+    n = mesh.devices.size
+    b = arrays[0].shape[0]
+    target = -(-b // n) * n
+    if target == b:
+        return arrays
+    idx = np.arange(target) % b
+    return tuple(np.asarray(a)[idx] for a in arrays)
 
 
 def eval_pcn(
@@ -66,18 +106,16 @@ def eval_pcn(
     core/test_pcn.py:115).
     """
     render = make_renderer(cfg)
-    eval_fn = make_pcn_eval_fn(model, render)
+    mesh = _eval_mesh(cfg)
+    eval_fn = make_pcn_eval_fn(model, render, mesh=mesh)
 
     category_metrics: Dict[str, AverageMeter] = {}
     test_metrics = AverageMeter(METRIC_NAMES)
     for batch in loader:
-        m = np.asarray(
-            eval_fn(
-                variables,
-                jnp.asarray(batch.data["partial_cloud"]),
-                jnp.asarray(batch.data["gtcloud"]),
-            )
+        partial, gt = _pad_eval_rows(
+            (batch.data["partial_cloud"], batch.data["gtcloud"]), mesh
         )
+        m = np.asarray(eval_fn(variables, jnp.asarray(partial), jnp.asarray(gt)))
         for i in range(batch.valid):
             vals = [float(m[0, i]), float(m[1, i]), float(m[2, i])]
             tax = batch.taxonomy_ids[i]
@@ -93,14 +131,16 @@ def eval_pcn(
     return test_metrics.avg(0)
 
 
-def make_55_eval_fn(model, render: PCViews, num_crop: int, n_sample: int = 2048):
+def make_55_eval_fn(model, render: PCViews, num_crop: int, n_sample: int = 2048,
+                    mesh=None):
     """Jitted (variables, gt, corners(V,3)) -> (V, 3, B) metrics: ALL fixed
     corner viewpoints of core/test_55.py:51-82 in ONE dispatch per batch
     (``lax.map`` over corners — sequential on device, so peak memory stays
-    at single-corner level while host dispatch count drops 8x)."""
+    at single-corner level while host dispatch count drops 8x).
 
-    @jax.jit
-    def fn(variables, gt, corners):
+    ``mesh``: shard_map over the batch axis (see make_pcn_eval_fn)."""
+
+    def body(variables, gt, corners):
         def one_corner(corner):
             c = jnp.broadcast_to(corner, (gt.shape[0], 3))
             partial, _ = crop_fixed(gt, c, num_crop)
@@ -112,7 +152,17 @@ def make_55_eval_fn(model, render: PCViews, num_crop: int, n_sample: int = 2048)
 
         return jax.lax.map(one_corner, corners)
 
-    return fn
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        body = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P()),
+            out_specs=P(None, None, "data"),
+            check_vma=False,
+        )
+    return jax.jit(body)
 
 
 def eval_55(
@@ -134,13 +184,17 @@ def eval_55(
     n = cfg.data.gt_points
     num_crop = int(n * CROP_RATIO[mode])
     render = make_renderer(cfg)
-    eval_fn = make_55_eval_fn(model, render, num_crop, n_sample=cfg.data.n_points)
+    mesh = _eval_mesh(cfg)
+    eval_fn = make_55_eval_fn(
+        model, render, num_crop, n_sample=cfg.data.n_points, mesh=mesh
+    )
 
     category_metrics: Dict[str, AverageMeter] = {}
     test_metrics = AverageMeter(METRIC_NAMES)
     corners = jnp.asarray(FIXED_CORNERS[:n_viewpoints])
     for batch in loader:
-        gt = jnp.asarray(batch.data["gtcloud"])
+        (gt,) = _pad_eval_rows((batch.data["gtcloud"],), mesh)
+        gt = jnp.asarray(gt)
         m = np.asarray(eval_fn(variables, gt, corners))  # (V, 3, B)
         for v in range(m.shape[0]):
             for i in range(batch.valid):
@@ -158,7 +212,7 @@ def eval_55(
     return test_metrics.avg(0)
 
 
-def make_kitti_eval_fn(model, render: PCViews):
+def make_kitti_eval_fn(model, render: PCViews, mesh=None):
     """Jitted (variables, partial) -> (preds (B,N,3), fidelity (B,)).
 
     Fidelity (PCN-paper KITTI metric): mean distance from each input point
@@ -172,8 +226,7 @@ def make_kitti_eval_fn(model, render: PCViews):
     reference (which ships no KITTI loader at all)."""
     from svdformer_pointsea_tpu.ops import nn_squared_distance
 
-    @jax.jit
-    def fn(variables, partial):
+    def body(variables, partial):
         depth = render.render(partial)
         preds = model.apply(variables, partial, depth, train=False)
         d = jnp.sqrt(nn_squared_distance(partial, preds[-1]))  # (B, N)
@@ -183,7 +236,17 @@ def make_kitti_eval_fn(model, render: PCViews):
         )
         return preds[-1], fidelity
 
-    return fn
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        body = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P("data")),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )
+    return jax.jit(body)
 
 
 def eval_kitti(
@@ -199,16 +262,16 @@ def eval_kitti(
     import os
 
     render = make_renderer(cfg)
-    eval_fn = make_kitti_eval_fn(model, render)
+    mesh = _eval_mesh(cfg)
+    eval_fn = make_kitti_eval_fn(model, render, mesh=mesh)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         from svdformer_pointsea_tpu.data import write_pcd
 
     meter = AverageMeter(["fidelity"])
     for batch in loader:
-        preds, fid = eval_fn(
-            variables, jnp.asarray(batch.data["partial_cloud"])
-        )
+        (partial,) = _pad_eval_rows((batch.data["partial_cloud"],), mesh)
+        preds, fid = eval_fn(variables, jnp.asarray(partial))
         preds, fid = np.asarray(preds), np.asarray(fid)
         for i in range(batch.valid):
             meter.update([float(fid[i])])

@@ -89,6 +89,21 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
     set_seed(cfg.seed)
     is_55 = cfg.data.name == "ShapeNet55"
     tcfg = cfg.train
+    # Validate the parallelism flags before any expensive setup.
+    sp = int(getattr(tcfg, "sp", 1))
+    dp_impl = str(getattr(tcfg, "dp", "gspmd"))
+    if dp_impl not in ("gspmd", "shard_map"):
+        raise ValueError(f"cfg.train.dp must be gspmd|shard_map, got {dp_impl!r}")
+    if dp_impl == "shard_map" and sp > 1:
+        raise ValueError(
+            "dp=shard_map is 1-D data parallelism; it does not compose with "
+            "the sp token-sharding axis (which relies on GSPMD)"
+        )
+    if dp_impl == "shard_map" and bool(getattr(tcfg, "adv_enabled", False)):
+        raise ValueError(
+            "dp=shard_map is not wired for the adversarial 55 branch "
+            "(train/gan.py builds its own two-optimizer step); use gspmd"
+        )
     # Trace-time switch — must precede the first trace (nn/precision.py).
     from svdformer_pointsea_tpu.nn import set_mixed_precision
 
@@ -114,7 +129,6 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
     state = init_state(cfg, model, optimizer, seed=cfg.seed)
     logging.info("Parameters: %d", count_parameters(state.params))
 
-    sp = int(getattr(tcfg, "sp", 1))
     if sp > 1:
         # Opt-in sequence parallelism (parallel/sp.py): 2-D (data, sp)
         # mesh; SDG token axes shard over sp chips. Trace-time switch —
@@ -169,6 +183,7 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
             partial_matching=tcfg.partial_matching,
             render_fn=render.render,
             crop_n_out=cfg.data.n_points if is_55 else None,
+            mesh=mesh if dp_impl == "shard_map" else None,
         )
     lr_fn = reference_lr_schedule(
         tcfg.learning_rate, tcfg.warmup_steps, tcfg.lr_decay_step, tcfg.gamma

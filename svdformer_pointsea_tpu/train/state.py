@@ -100,6 +100,7 @@ def make_train_step(
     donate: bool = True,
     render_fn: Optional[Callable[[Array], Array]] = None,
     crop_n_out: Optional[int] = None,
+    mesh=None,
 ):
     """Build the jitted DP train step.
 
@@ -116,28 +117,57 @@ def make_train_step(
     ``weights`` is the (B,) loss mask from ``parallel.pad_batch`` — pad
     rows (weight 0) keep every chip busy without perturbing the loss.
     metrics = {'loss', 'cdc', 'cd1', 'cd2'} (scalars).
+
+    ``mesh``: when given, the step is built with ``jax.shard_map`` over the
+    mesh's ``data`` axis instead of relying on GSPMD to partition the jitted
+    graph. Each device runs the WHOLE step body on its local batch shard —
+    which is what keeps the Pallas fast paths (VMEM FPS, fused NN-distance,
+    flash attention) active per-chip on a real multi-chip pod, where GSPMD
+    would have to all-gather around every (unpartitionable) ``pallas_call``.
+    Numerics match the GSPMD path: batch reductions in the loss psum over
+    the axis (losses.py ``axis_name``) and BatchNorm moments pmean over it
+    (nn/layers.py ``bn_axis``); gradients are the per-device contributions
+    psum'd — the flax sync-BN + pmean(grads) pattern, exact because shards
+    are equal-size (``pad_batch``). Validated against the GSPMD step on an
+    8-device CPU mesh (tests/test_shard_map.py).
     """
+    axis = None
+    if mesh is not None:
+        from svdformer_pointsea_tpu.parallel.mesh import DATA_AXIS
+
+        axis = DATA_AXIS
 
     def update(state: TrainState, partial, depth, gt, lr, weights=None):
         def loss_fn(params):
-            outs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                partial,
-                depth,
-                train=True,
-                mutable=["batch_stats"],
-            )
+            from svdformer_pointsea_tpu.nn.layers import bn_axis
+
+            with bn_axis(axis):
+                outs, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    partial,
+                    depth,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
             if partial_matching:
                 loss, parts = get_loss_pm(
-                    outs, partial, gt, sqrt=sqrt_loss, weights=weights
+                    outs, partial, gt, sqrt=sqrt_loss, weights=weights,
+                    axis_name=axis,
                 )
             else:
-                loss, parts = get_loss(outs, gt, sqrt=sqrt_loss, weights=weights)
+                loss, parts = get_loss(
+                    outs, gt, sqrt=sqrt_loss, weights=weights, axis_name=axis
+                )
             return loss, (parts, mutated["batch_stats"])
 
         (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if axis is not None:
+            # Per-device grads are the local-shard contributions to the
+            # globally-normalized loss; their psum is the exact global
+            # gradient (den is global already via the loss's axis_name).
+            grads = jax.lax.psum(grads, axis)
         opt_state = _set_lr(state.opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -157,12 +187,14 @@ def make_train_step(
 
     if render_fn is None:
         step_fn = update
+        n_batch_args = 3  # partial, depth, gt
     elif crop_n_out is None:
 
         def step_fn(state, partial, gt, weights, lr):
             depth = jax.lax.stop_gradient(render_fn(partial))
             return update(state, partial, depth, gt, lr, weights)
 
+        n_batch_args = 3  # partial, gt, weights
     else:
         from svdformer_pointsea_tpu.data.crop import crop_random_resampled
 
@@ -170,6 +202,24 @@ def make_train_step(
             partial, _ = crop_random_resampled(gt, direction, num_crop, crop_n_out)
             depth = jax.lax.stop_gradient(render_fn(partial))
             return update(state, partial, depth, gt, lr, weights)
+
+        n_batch_args = 4  # gt, direction, num_crop, weights
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        in_specs = (P(), *([P(axis)] * n_batch_args), P())  # state, batch..., lr
+        # check_vma=False: the varying-manual-axes checker rejects lax.scan
+        # carries initialized from constants (ops/fps.py's scan oracle) even
+        # though the computation is correct; numerical equivalence with the
+        # GSPMD step is what tests/test_shard_map.py asserts instead.
+        step_fn = jax.shard_map(
+            step_fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
