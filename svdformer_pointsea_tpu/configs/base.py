@@ -89,7 +89,8 @@ class TrainConfig:
     # local batch shard — keeps the Pallas fast paths active per-chip on a
     # real multi-chip pod, where GSPMD would all-gather around every
     # pallas_call). Numerically equivalent (tests/test_shard_map.py);
-    # mutually exclusive with sp>1 and the adversarial branch.
+    # supported by all trainers (incl. GAN tracks); mutually exclusive
+    # with sp>1 (which relies on GSPMD).
     dp: str = "gspmd"
 
 

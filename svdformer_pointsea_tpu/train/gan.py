@@ -57,15 +57,25 @@ class GANTrainState(flax.struct.PyTreeNode):
     d_opt_state: Any
 
 
-def _bce_logits(logits: Array, target: float, weights: Array | None = None) -> Array:
+def _bce_logits(logits: Array, target: float, weights: Array | None = None,
+                axis_name: str | None = None) -> Array:
     """BCEWithLogits against a constant target (train_geospec.py:110-130).
-    ``weights`` (B,) masks pad rows out of the batch mean."""
+    ``weights`` (B,) masks pad rows out of the batch mean. ``axis_name``:
+    psum the numerator and denominator over a mesh axis inside shard_map
+    (global batch mean; same contract as losses.py::_batch_mean)."""
     t = jnp.full_like(logits, target)
     bce = optax.sigmoid_binary_cross_entropy(logits, t)
-    if weights is None:
-        return jnp.mean(bce)
     per = bce.reshape(bce.shape[0], -1).mean(axis=1)
-    return jnp.sum(per * weights) / jnp.sum(weights)
+    if weights is None:
+        num = jnp.sum(per)
+        den = jnp.asarray(per.shape[0], per.dtype)
+    else:
+        num = jnp.sum(per * weights)
+        den = jnp.sum(weights)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / den
 
 
 def create_gan_state(cfg: Config, seed: int = 1):
@@ -96,7 +106,7 @@ def create_gan_state(cfg: Config, seed: int = 1):
 
 
 def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float,
-                        render_fn=None):
+                        render_fn=None, mesh=None, donate: bool = True):
     """Jitted GAN step, single generator forward (the reference computes
     ``pcds_pred`` once and reuses it for both D's fake and G's loss,
     core/train_geospec.py:105-130 — we mirror that via ``jax.vjp``: one
@@ -106,18 +116,31 @@ def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float,
     signature: ``(state, partial, depth, gt, g_lr, d_lr)``; with
     ``render_fn`` set, depth is rendered inside the step and the signature
     drops it: ``(state, partial, gt, g_lr, d_lr)``.
+
+    ``mesh``: build the step with ``jax.shard_map`` over the data axis —
+    same contract as train/state.py::make_train_step(mesh=...): per-device
+    step bodies (Pallas kernels stay active on pods), loss psums, synced
+    BatchNorm moments, psum'd G and D gradients.
     """
+    axis = None
+    if mesh is not None:
+        from svdformer_pointsea_tpu.parallel.mesh import DATA_AXIS
+
+        axis = DATA_AXIS
 
     def step_fn(state: GANTrainState, partial, depth, gt, g_lr, d_lr, weights=None):
+        from svdformer_pointsea_tpu.nn.layers import bn_axis
+
         # ---- single generator forward (with saved linearization) -------
         def g_forward(g_params):
-            preds, mutated = g_model.apply(
-                {"params": g_params, "batch_stats": state.g_batch_stats},
-                partial,
-                depth,
-                train=True,
-                mutable=["batch_stats"],
-            )
+            with bn_axis(axis):
+                preds, mutated = g_model.apply(
+                    {"params": g_params, "batch_stats": state.g_batch_stats},
+                    partial,
+                    depth,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
             return tuple(preds), mutated["batch_stats"]
 
         preds, g_vjp, g_bs = jax.vjp(g_forward, state.g_params, has_aux=True)
@@ -125,22 +148,25 @@ def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float,
 
         # ---- D phase: real vs stop_grad(fake) --------------------------
         def d_loss_fn(d_params):
-            dvar = {"params": d_params, "batch_stats": state.d_batch_stats}
-            real_logits, mut_r = d_model.apply(
-                dvar, gt, train=True, mutable=["batch_stats"]
-            )
-            dvar = {"params": d_params, "batch_stats": mut_r["batch_stats"]}
-            fake_logits, mut_f = d_model.apply(
-                dvar, p2_fake, train=True, mutable=["batch_stats"]
-            )
-            loss = _bce_logits(real_logits, 1.0, weights) + _bce_logits(
-                fake_logits, 0.0, weights
+            with bn_axis(axis):
+                dvar = {"params": d_params, "batch_stats": state.d_batch_stats}
+                real_logits, mut_r = d_model.apply(
+                    dvar, gt, train=True, mutable=["batch_stats"]
+                )
+                dvar = {"params": d_params, "batch_stats": mut_r["batch_stats"]}
+                fake_logits, mut_f = d_model.apply(
+                    dvar, p2_fake, train=True, mutable=["batch_stats"]
+                )
+            loss = _bce_logits(real_logits, 1.0, weights, axis) + _bce_logits(
+                fake_logits, 0.0, weights, axis
             )
             return loss, mut_f["batch_stats"]
 
         (d_loss, d_bs), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params
         )
+        if axis is not None:
+            d_grads = jax.lax.psum(d_grads, axis)
         d_opt_state = _set_lr(state.d_opt_state, d_lr)
         d_updates, d_opt_state = d_opt.update(d_grads, d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
@@ -148,19 +174,23 @@ def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float,
         # ---- G phase: recon + GAN term against the updated D, gradients
         # pulled back through the single forward's vjp ------------------
         def loss_on_preds(preds_in):
-            recon, parts = get_loss_pm(preds_in, partial, gt, sqrt=True, weights=weights)
+            recon, parts = get_loss_pm(
+                preds_in, partial, gt, sqrt=True, weights=weights, axis_name=axis
+            )
             fake_logits = d_model.apply(
                 {"params": d_params, "batch_stats": d_bs},
                 preds_in[-1],
                 train=False,
             )
-            gan = _bce_logits(fake_logits, 1.0, weights)
+            gan = _bce_logits(fake_logits, 1.0, weights, axis)
             return recon + gan_weight * gan, (parts, recon, gan)
 
         (g_loss, (parts, recon, gan)), dpreds = jax.value_and_grad(
             loss_on_preds, has_aux=True
         )(preds)
         (g_grads,) = g_vjp(dpreds)
+        if axis is not None:
+            g_grads = jax.lax.psum(g_grads, axis)
         g_opt_state = _set_lr(state.g_opt_state, g_lr)
         g_updates, g_opt_state = g_opt.update(g_grads, g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
@@ -186,13 +216,27 @@ def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float,
         return new_state, metrics
 
     if render_fn is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+        out = step_fn
+        n_batch = 3  # partial, depth, gt
+    else:
 
-    def fused(state, partial, gt, weights, g_lr, d_lr):
-        depth = jax.lax.stop_gradient(render_fn(partial))
-        return step_fn(state, partial, depth, gt, g_lr, d_lr, weights)
+        def out(state, partial, gt, weights, g_lr, d_lr):
+            depth = jax.lax.stop_gradient(render_fn(partial))
+            return step_fn(state, partial, depth, gt, g_lr, d_lr, weights)
 
-    return jax.jit(fused, donate_argnums=(0,))
+        n_batch = 3  # partial, gt, weights
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        out = jax.shard_map(
+            out,
+            mesh=mesh,
+            in_specs=(P(), *([P(axis)] * n_batch), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # constant-init scan carries, see train/state.py
+        )
+    return jax.jit(out, donate_argnums=(0,) if donate else ())
 
 
 class AdvAuxState(flax.struct.PyTreeNode):
@@ -229,6 +273,8 @@ def make_adv55_train_step(
     d_steps: int,
     render_fn=None,
     crop_n_out=None,
+    mesh=None,
+    donate: bool = True,
 ):
     """Jitted adversarial 55 step (core/train_55.py:144-180).
 
@@ -249,15 +295,24 @@ def make_adv55_train_step(
     """
     from svdformer_pointsea_tpu.train.state import TrainState
 
+    axis = None
+    if mesh is not None:
+        from svdformer_pointsea_tpu.parallel.mesh import DATA_AXIS
+
+        axis = DATA_AXIS
+
     def step_fn(state, adv, partial, depth, gt, lr, d_lr, weights=None):
+        from svdformer_pointsea_tpu.nn.layers import bn_axis
+
         def g_forward(params):
-            preds, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                partial,
-                depth,
-                train=True,
-                mutable=["batch_stats"],
-            )
+            with bn_axis(axis):
+                preds, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    partial,
+                    depth,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
             return tuple(preds), mutated["batch_stats"]
 
         preds, g_vjp, new_bs = jax.vjp(g_forward, state.params, has_aux=True)
@@ -267,13 +322,15 @@ def make_adv55_train_step(
             real_logits = d_model.apply({"params": d_params}, gt)
             fake_logits = d_model.apply({"params": d_params}, fake)
             return 0.5 * (
-                _bce_logits(real_logits, 1.0, weights)
-                + _bce_logits(fake_logits, 0.0, weights)
+                _bce_logits(real_logits, 1.0, weights, axis)
+                + _bce_logits(fake_logits, 0.0, weights, axis)
             )
 
         def d_update(_, carry):
             d_params, d_opt_state, _ = carry
             d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+            if axis is not None:
+                d_grads = jax.lax.psum(d_grads, axis)
             d_opt_state = _set_lr(d_opt_state, d_lr)
             d_updates, d_opt_state = d_opt.update(d_grads, d_opt_state, d_params)
             return optax.apply_updates(d_params, d_updates), d_opt_state, d_loss
@@ -287,10 +344,12 @@ def make_adv55_train_step(
 
         def loss_on_preds(preds_in):
             recon, parts = get_loss_pm(
-                preds_in, partial, gt, sqrt=sqrt_loss, weights=weights
+                preds_in, partial, gt, sqrt=sqrt_loss, weights=weights,
+                axis_name=axis,
             )
             g_adv = _bce_logits(
-                d_model.apply({"params": d_params}, preds_in[-1]), 1.0, weights
+                d_model.apply({"params": d_params}, preds_in[-1]), 1.0,
+                weights, axis,
             )
             return recon + lambda_g * g_adv, (parts, recon, g_adv)
 
@@ -298,6 +357,8 @@ def make_adv55_train_step(
             loss_on_preds, has_aux=True
         )(preds)
         (grads,) = g_vjp(dpreds)
+        if axis is not None:
+            grads = jax.lax.psum(grads, axis)
         opt_state = _set_lr(state.opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -319,14 +380,15 @@ def make_adv55_train_step(
         return new_state, AdvAuxState(d_params, d_opt_state), metrics
 
     if render_fn is None:
-        return jax.jit(step_fn, donate_argnums=(0, 1))
-
-    if crop_n_out is None:
+        fused = step_fn
+        n_batch = 3  # partial, depth, gt
+    elif crop_n_out is None:
 
         def fused(state, adv, partial, gt, weights, lr, d_lr):
             depth = jax.lax.stop_gradient(render_fn(partial))
             return step_fn(state, adv, partial, depth, gt, lr, d_lr, weights)
 
+        n_batch = 3  # partial, gt, weights
     else:
         from svdformer_pointsea_tpu.data.crop import crop_random_resampled
 
@@ -335,7 +397,19 @@ def make_adv55_train_step(
             depth = jax.lax.stop_gradient(render_fn(partial))
             return step_fn(state, adv, partial, depth, gt, lr, d_lr, weights)
 
-    return jax.jit(fused, donate_argnums=(0, 1))
+        n_batch = 4  # gt, direction, num_crop, weights
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        fused = jax.shard_map(
+            fused,
+            mesh=mesh,
+            in_specs=(P(), P(), *([P(axis)] * n_batch), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,  # constant-init scan carries, see train/state.py
+        )
+    return jax.jit(fused, donate_argnums=(0, 1) if donate else ())
 
 
 def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional[int] = None):
@@ -346,6 +420,9 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
     from svdformer_pointsea_tpu.nn import set_mixed_precision
 
     set_mixed_precision(getattr(tcfg, "precision", "f32") == "bf16")
+    dp_impl = str(getattr(tcfg, "dp", "gspmd"))
+    if dp_impl not in ("gspmd", "shard_map"):
+        raise ValueError(f"cfg.train.dp must be gspmd|shard_map, got {dp_impl!r}")
     g_model, d_model, g_opt, d_opt, state = create_gan_state(cfg, seed=cfg.seed)
 
     mesh = make_mesh_for_batch(tcfg.batch_size)
@@ -355,7 +432,8 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
     render = make_renderer(cfg)  # honors cfg.network.resolution
     # Depth rendering fused into the jitted step — one dispatch per batch.
     step_fn = make_gan_train_step(
-        g_model, d_model, g_opt, d_opt, tcfg.gan_weight, render_fn=render.render
+        g_model, d_model, g_opt, d_opt, tcfg.gan_weight, render_fn=render.render,
+        mesh=mesh if dp_impl == "shard_map" else None,
     )
     lr_fn = reference_lr_schedule(
         tcfg.learning_rate, tcfg.warmup_steps, tcfg.lr_decay_step, tcfg.gamma

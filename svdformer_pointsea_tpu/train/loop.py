@@ -99,11 +99,6 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
             "dp=shard_map is 1-D data parallelism; it does not compose with "
             "the sp token-sharding axis (which relies on GSPMD)"
         )
-    if dp_impl == "shard_map" and bool(getattr(tcfg, "adv_enabled", False)):
-        raise ValueError(
-            "dp=shard_map is not wired for the adversarial 55 branch "
-            "(train/gan.py builds its own two-optimizer step); use gspmd"
-        )
     # Trace-time switch — must precede the first trace (nn/precision.py).
     from svdformer_pointsea_tpu.nn import set_mixed_precision
 
@@ -165,6 +160,7 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
             d_steps=tcfg.adv_d_steps,
             render_fn=render.render,
             crop_n_out=cfg.data.n_points,
+            mesh=mesh if dp_impl == "shard_map" else None,
         )
 
         def train_step(state, gt, direction, num_crop, weights, lr):

@@ -110,6 +110,30 @@ def test_micro_train_pcn_shard_map_end_to_end(tmp_path, rng):
     assert os.path.isdir(os.path.join(ckpt_dir, "ckpt-best"))
 
 
+@pytest.mark.heavy  # full train_net_gan drive on the 8-device CPU mesh
+def test_micro_train_gan_shard_map_end_to_end(tmp_path, rng):
+    """train_net_gan under cfg.train.dp="shard_map": data from disk ->
+    fused render -> two-optimizer GAN step on the mesh -> eval ->
+    checkpoint. (Also the first e2e exercise of train_net_gan in the
+    suite — the gspmd micro-step test covers only the step function.)"""
+    import dataclasses
+    import os
+
+    from svdformer_pointsea_tpu.train.gan import train_net_gan
+    from tests.test_orchestration import _tiny_pcn_config
+
+    cfg = _tiny_pcn_config(tmp_path, rng)
+    cfg = cfg.replace(
+        network=dataclasses.replace(cfg.network, model="geospecnet"),
+        train=dataclasses.replace(cfg.train, dp="shard_map", batch_size=12),
+    )
+    state, best = train_net_gan(cfg, max_epochs=1)
+    assert np.isfinite(best)
+    assert int(state.step) == 1  # 3 samples, batch 12 -> 1 padded step
+    ckpt_dir = os.path.join(cfg.out_path, "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "ckpt-best"))
+
+
 def test_dp_flag_validation():
     """Bad dp values and invalid combinations fail loudly."""
     import dataclasses
@@ -149,6 +173,138 @@ def test_shard_map_eval_matches_jit(rng):
     m_jit = np.asarray(fn_jit(variables, jnp.asarray(pp), jnp.asarray(gg)))
     m_sm = np.asarray(fn_sm(variables, jnp.asarray(pp), jnp.asarray(gg)))
     np.testing.assert_allclose(m_sm[:, :12], m_jit[:, :12], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.heavy  # two GAN-step compiles on the 8-device CPU mesh
+def test_shard_map_gan_step_matches_gspmd(rng):
+    """GeoSpec GAN step (two optimizers, vjp-shared G forward, D BN stats)
+    under shard_map == GSPMD, with pad rows (B12 -> 16 on 8 devices)."""
+    import dataclasses
+
+    from svdformer_pointsea_tpu.configs import geospec_config
+    from svdformer_pointsea_tpu.train.gan import (
+        create_gan_state,
+        make_gan_train_step,
+    )
+
+    cfg = geospec_config()
+    cfg = cfg.replace(
+        network=dataclasses.replace(
+            cfg.network,
+            step1=2, step2=2, merge_points=32, local_points=32, resolution=8,
+            n_input_points=128,
+        ),
+        data=dataclasses.replace(cfg.data, n_points=128, gt_points=128),
+    )
+    g_model, d_model, g_opt, d_opt, state = create_gan_state(cfg, seed=0)
+    render = PCViews(trans=-0.7, resolution=8)
+    mesh = make_mesh()
+
+    step_g = make_gan_train_step(
+        g_model, d_model, g_opt, d_opt, gan_weight=0.05, render_fn=render.render,
+        donate=False,
+    )
+    step_s = make_gan_train_step(
+        g_model, d_model, g_opt, d_opt, gan_weight=0.05, render_fn=render.render,
+        mesh=mesh, donate=False,
+    )
+
+    B, N = 12, 128
+    part = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+    (pp, gg), w = pad_batch((part, gt), mesh)
+    pp, gg, ww = [
+        jax.device_put(x, batch_sharding(mesh)) for x in (pp, gg, jnp.asarray(w))
+    ]
+    st_g = jax.device_put(state, replicated_sharding(mesh))
+    st_s = jax.device_put(state, replicated_sharding(mesh))
+    st_g, m_g = step_g(st_g, pp, gg, ww, jnp.float32(1e-4), jnp.float32(1e-4))
+    st_s, m_s = step_s(st_s, pp, gg, ww, jnp.float32(1e-4), jnp.float32(1e-4))
+
+    for k in m_g:
+        # f32 reduction-order noise through the synced-BN discriminator
+        # logits: measured |Δ|/x up to 3.3e-5 on the losses.
+        np.testing.assert_allclose(
+            float(m_g[k]), float(m_s[k]), rtol=2e-4, atol=1e-6, err_msg=k
+        )
+    for name in ("g_params", "d_params", "g_batch_stats", "d_batch_stats"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(getattr(st_g, name)),
+            jax.tree_util.tree_leaves(getattr(st_s, name)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=3e-4, err_msg=name
+            )
+
+
+@pytest.mark.heavy  # one adv-step compile on the 8-device CPU mesh
+def test_shard_map_adv55_step_runs(rng):
+    """Adversarial 55 step (fused crop+render, fori-loop D updates) under
+    shard_map: finite losses, both networks update. Equivalence math is
+    covered by the geospec GAN test; this guards the crop-variant in_specs
+    plumbing."""
+    import dataclasses
+
+    from svdformer_pointsea_tpu.configs import shapenet55_config
+    from svdformer_pointsea_tpu.data import random_crop_params
+    from svdformer_pointsea_tpu.train.gan import (
+        create_adv55_state,
+        make_adv55_train_step,
+    )
+    from svdformer_pointsea_tpu.train.loop import build_model
+    from svdformer_pointsea_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+    )
+
+    cfg = shapenet55_config(adv=True)
+    cfg = cfg.replace(
+        network=dataclasses.replace(
+            cfg.network,
+            step1=2, step2=2, merge_points=32, local_points=32, resolution=8,
+            n_input_points=64,
+        ),
+        data=dataclasses.replace(cfg.data, n_points=64, gt_points=256),
+    )
+    model = build_model(cfg)
+    opt = make_optimizer(weight_decay=cfg.train.weight_decay)
+    render = PCViews(trans=-0.7, resolution=8)
+    rng_np = np.random.RandomState(0)
+    partial0 = jnp.asarray(rng_np.rand(2, 64, 3), jnp.float32)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (partial0, render.get_img(partial0)), opt
+    )
+    d_model, d_opt, adv = create_adv55_state(cfg, seed=0)
+    mesh = make_mesh()
+    step = make_adv55_train_step(
+        model, d_model, opt, d_opt,
+        sqrt_loss=False, lambda_g=0.05, d_steps=2,
+        render_fn=render.render, crop_n_out=64, mesh=mesh, donate=False,
+    )
+
+    B = 12
+    gt = jnp.asarray(rng_np.rand(B, 256, 3), jnp.float32)
+    num_crop, direction = random_crop_params(rng_np, B, 256)
+    (gt, direction, num_crop), w = pad_batch((gt, direction, num_crop), mesh)
+    gt, direction, num_crop, ww = [
+        jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+        for x in (gt, direction, num_crop, w)
+    ]
+    state = jax.device_put(state, replicated_sharding(mesh))
+    adv = jax.device_put(adv, replicated_sharding(mesh))
+    g_before = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    d_before = np.asarray(jax.tree_util.tree_leaves(adv.d_params)[0]).copy()
+    state, adv, m = step(
+        state, adv, gt, direction, num_crop, ww,
+        jnp.float32(1e-4), jnp.float32(1e-4),
+    )
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["d_loss"]))
+    assert not np.allclose(
+        g_before, np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    )
+    assert not np.allclose(
+        d_before, np.asarray(jax.tree_util.tree_leaves(adv.d_params)[0])
+    )
 
 
 def test_bn_axis_switch_is_scoped():
