@@ -1,6 +1,9 @@
 """Worker process for the multi-host DP rehearsal test.
 
-Usage: python mh_worker.py <process_id> <num_processes> <port> <devices_per_proc>
+Usage: python mh_worker.py <process_id> <num_processes> <port> <devices_per_proc> [impl]
+
+``impl``: "gspmd" (default) or "shard_map" — which DP step implementation
+to rehearse (train/state.py::make_train_step's mesh= switch).
 
 Each process owns ``devices_per_proc`` fake CPU devices; together they form
 one global ``data`` mesh (gloo collectives over the distributed runtime —
@@ -15,6 +18,7 @@ import sys
 
 def main() -> None:
     pid, nprocs, port, dpp = (int(a) for a in sys.argv[1:5])
+    impl = sys.argv[5] if len(sys.argv) > 5 else "gspmd"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={dpp}"
 
@@ -69,7 +73,10 @@ def main() -> None:
     state = jax.device_put(state, replicated_sharding(mesh))
     batch = shard_host_local_batch(local, mesh)
 
-    train_step = make_train_step(model, optimizer, donate=False)
+    train_step = make_train_step(
+        model, optimizer, donate=False,
+        mesh=mesh if impl == "shard_map" else None,
+    )
     # AOT-compile, then rendezvous at a coordination-service barrier before
     # executing: gloo's collective-context init times out after 30 s, and on
     # a loaded single-CPU host the two processes can finish compiling

@@ -142,7 +142,7 @@ def test_multihost_dp_rehearsal(rng):
     # A free rendezvous port per run (fixed ports collide across sessions).
     import socket
 
-    def run_pair():
+    def run_pair(impl="gspmd"):
         with socket.socket() as sock:
             sock.bind(("localhost", 0))
             port = sock.getsockname()[1]
@@ -151,7 +151,7 @@ def test_multihost_dp_rehearsal(rng):
                 # 2 procs x 2 fake devices: multi-process sharding semantics
                 # are device-count-independent, and 4 fake devices halve the
                 # serialized single-CPU simulation vs the previous 8.
-                [sys.executable, worker, str(pid), "2", str(port), "2"],
+                [sys.executable, worker, str(pid), "2", str(port), "2", impl],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
                 env=env,
@@ -217,3 +217,12 @@ def test_multihost_dp_rehearsal(rng):
         state, batch["partial"], batch["depth"], batch["gt"], jnp.float32(1e-4)
     )
     np.testing.assert_allclose(losses[0], float(metrics["loss"]), rtol=1e-5)
+
+    # shard_map leg: the per-device step body over the same 2-process mesh
+    # (DCN-ready claim for --dp shard_map). Same global loss expected.
+    sm_losses, sm_outs = run_pair("shard_map")
+    if sm_losses is None and starved(sm_outs):
+        pytest.skip("gloo starvation on the shard_map leg (single-CPU host)")
+    assert sm_losses is not None, sm_outs[0][-1500:] + sm_outs[1][-1500:]
+    assert sm_losses[0] == sm_losses[1]
+    np.testing.assert_allclose(sm_losses[0], losses[0], rtol=1e-5)
