@@ -7,6 +7,7 @@ Usage (thin wrappers at the repo root):
     python main_pcn.py [--test|--inference] [--weights PATH]
     python main_55.py [--test|--inference] [--mode easy|median|hard]
     python main_geospec.py [--test|--inference] [--weights PATH] [--run_id N]
+    python main_pointsea.py [--test|--inference] [--weights PATH]
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ from svdformer_pointsea_tpu.configs import (
     geospec_config,
     kitti_config,
     pcn_config,
+    pointsea_config,
     shapenet55_config,
 )
 
@@ -164,6 +166,18 @@ def main_kitti(argv=None) -> None:
     args = _parser("kitti").parse_args(argv)
     args.test = True  # eval-only track
     _dispatch(_apply_overrides(kitti_config(), args), args)
+
+
+def main_pointsea(argv=None) -> None:
+    """PointSea on PCN data (first-class trainer — the reference ships
+    PointSea as a model package only, models_PointSea/PointSea.py:250-285,
+    with no core/ driver; here it rides the PCN orchestration with the
+    realistic voxel renderer selected by configs.pointsea_config)."""
+    logging.basicConfig(
+        format="[%(levelname)s] %(asctime)s %(message)s", level=logging.DEBUG
+    )
+    args = _parser("pointsea").parse_args(argv)
+    _dispatch(_apply_overrides(pointsea_config(), args), args)
 
 
 def main_geospec(argv=None) -> None:

@@ -38,3 +38,15 @@ def test_main_55_default_dataset(monkeypatch):
     seen = _capture_dispatch(monkeypatch)
     cli.main_55(["--test", "--weights", "w"])
     assert seen["cfg"].data.category_file.endswith("ShapeNet55")
+
+
+def test_main_pointsea(monkeypatch):
+    """PointSea rides the PCN orchestration: model family + realistic
+    renderer come from pointsea_config, flags plumb through."""
+    seen = _capture_dispatch(monkeypatch)
+    cli.main_pointsea(["--test", "--weights", "w", "--precision", "bf16"])
+    cfg = seen["cfg"]
+    assert cfg.network.model == "pointsea"
+    assert cfg.weights == "w"
+    assert cfg.train.precision == "bf16"
+    assert cfg.data.gt_points == 16384  # PCN geometry
