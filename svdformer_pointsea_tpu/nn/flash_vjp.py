@@ -37,6 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.pallas.ops.tpu import flash_attention as _fa
 
+from svdformer_pointsea_tpu.ops.vma import inject_vma, out_struct
+
 __all__ = ["flash_attention_di128"]
 
 # Interpret-mode switch so tests/test_flash_vjp.py can exercise the dq
@@ -128,7 +130,7 @@ def _bwd_dq_di128(
                     pltpu.VMEM((block_q_major, head_dim), jnp.float32)
                 ],
             ),
-            out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype), None],
+            out_shape=[out_struct(q.shape, q.dtype, q, k, v), None],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=(
                     "parallel",
@@ -147,15 +149,17 @@ def flash_attention_di128(q, k, v, sm_scale, block_sizes):
     """Drop-in for the upstream ``flash_attention(q, k, v, sm_scale=...,
     block_sizes=...)`` (non-causal, no bias/segments) with the fixed
     backward.  ``block_sizes`` must carry the backward blocks."""
-    return _fa._flash_attention(
-        q, k, v, None, None, False, False, sm_scale, block_sizes, False
-    )
+    with inject_vma(q, k, v):
+        return _fa._flash_attention(
+            q, k, v, None, None, False, False, sm_scale, block_sizes, False
+        )
 
 
 def _fwd(q, k, v, sm_scale, block_sizes):
-    o, l, m = _fa._flash_attention(
-        q, k, v, None, None, True, False, sm_scale, block_sizes, False
-    )
+    with inject_vma(q, k, v):
+        o, l, m = _fa._flash_attention(
+            q, k, v, None, None, True, False, sm_scale, block_sizes, False
+        )
     return o, (q, k, v, o, l, m)
 
 
@@ -163,25 +167,26 @@ def _bwd(sm_scale, block_sizes, residuals, do):
     q, k, v, o, l, m = residuals
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     # dkv: upstream path verbatim (its di layout is already lean).
-    dk, dv = _fa._flash_attention_bwd_dkv(
-        q,
-        k,
-        v,
-        None,
-        None,
-        l,
-        m,
-        do,
-        di,
-        block_q_major=block_sizes.block_q_major_dkv,
-        block_q=block_sizes.block_q_dkv,
-        block_k_major=block_sizes.block_k_major_dkv,
-        block_k=block_sizes.block_k_dkv,
-        sm_scale=sm_scale,
-        causal=False,
-        mask_value=_fa.DEFAULT_MASK_VALUE,
-        debug=False,
-    )
+    with inject_vma(q, k, v, do):
+        dk, dv = _fa._flash_attention_bwd_dkv(
+            q,
+            k,
+            v,
+            None,
+            None,
+            l,
+            m,
+            do,
+            di,
+            block_q_major=block_sizes.block_q_major_dkv,
+            block_q=block_sizes.block_q_dkv,
+            block_k_major=block_sizes.block_k_major_dkv,
+            block_k=block_sizes.block_k_dkv,
+            sm_scale=sm_scale,
+            causal=False,
+            mask_value=_fa.DEFAULT_MASK_VALUE,
+            debug=False,
+        )
     dq = _bwd_dq_di128(
         q,
         k,

@@ -28,6 +28,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from svdformer_pointsea_tpu.ops.vma import out_struct, vary_like as _vary_like
+
 Array = jax.Array
 
 _MAG_SKIP = 1e-3
@@ -39,7 +41,7 @@ def furthest_point_sample_ref(xyz: Array, npoint: int) -> Array:
     xyz = xyz.astype(jnp.float32)
     B, N, _ = xyz.shape
     valid = jnp.sum(xyz**2, axis=-1) > _MAG_SKIP  # (B, N)
-    first = jnp.zeros((B,), jnp.int32)
+    first = _vary_like(jnp.zeros((B,), jnp.int32), xyz)
 
     def body(carry, _):
         mindist, last = carry
@@ -54,7 +56,7 @@ def furthest_point_sample_ref(xyz: Array, npoint: int) -> Array:
 
     if npoint == 1:
         return first[:, None]
-    init = (jnp.full((B, N), _INIT_DIST, jnp.float32), first)
+    init = (_vary_like(jnp.full((B, N), _INIT_DIST, jnp.float32), xyz), first)
     _, rest = lax.scan(body, init, None, length=npoint - 1)
     return jnp.concatenate([first[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
 
@@ -155,7 +157,7 @@ def _fps_pallas(xyz: Array, npoint: int) -> Array:
         out_specs=pl.BlockSpec(
             (chunk, npoint), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bpad, npoint), jnp.int32),
+        out_shape=out_struct((bpad, npoint), jnp.int32, xyz),
         scratch_shapes=[pltpu.VMEM((chunk, npad), jnp.float32)],
     )(coords)
     return out[:B]
@@ -171,7 +173,7 @@ def furthest_point_sample(xyz: Array, npoint: int) -> Array:
     """
     xyz = jax.lax.stop_gradient(xyz)
     if npoint == 1:
-        return jnp.zeros((xyz.shape[0], 1), jnp.int32)
+        return _vary_like(jnp.zeros((xyz.shape[0], 1), jnp.int32), xyz)
     from svdformer_pointsea_tpu.parallel.sp import sp_active
 
     # Under sequence parallelism the Pallas kernel would force GSPMD to

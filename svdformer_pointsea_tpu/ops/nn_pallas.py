@@ -40,6 +40,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from svdformer_pointsea_tpu.ops.vma import out_struct
+
 Array = jax.Array
 
 # Tile sizes bound the live VMEM temporaries ((tn, tm) f32 distance tile,
@@ -139,8 +141,8 @@ def nn_one_way_pallas(a: Array, b: Array) -> tuple[Array, Array]:
             pl.BlockSpec((1, 1, npad), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, npad), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, npad), jnp.int32),
+            out_struct((B, 1, npad), jnp.float32, a, b),
+            out_struct((B, 1, npad), jnp.int32, a, b),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * npad * mpad * 4,

@@ -62,7 +62,6 @@ def make_pcn_eval_fn(model, render: PCViews, mesh=None):
             mesh=mesh,
             in_specs=(P(), P("data"), P("data")),
             out_specs=P(None, "data"),
-            check_vma=False,  # constant-init scan carries, see train/state.py
         )
     return jax.jit(body)
 
@@ -160,7 +159,6 @@ def make_55_eval_fn(model, render: PCViews, num_crop: int, n_sample: int = 2048,
             mesh=mesh,
             in_specs=(P(), P("data"), P()),
             out_specs=P(None, None, "data"),
-            check_vma=False,
         )
     return jax.jit(body)
 
@@ -244,7 +242,6 @@ def make_kitti_eval_fn(model, render: PCViews, mesh=None):
             mesh=mesh,
             in_specs=(P(), P("data")),
             out_specs=(P("data"), P("data")),
-            check_vma=False,
         )
     return jax.jit(body)
 

@@ -234,7 +234,6 @@ def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float,
             mesh=mesh,
             in_specs=(P(), *([P(axis)] * n_batch), P(), P()),
             out_specs=(P(), P()),
-            check_vma=False,  # constant-init scan carries, see train/state.py
         )
     return jax.jit(out, donate_argnums=(0,) if donate else ())
 
@@ -407,7 +406,6 @@ def make_adv55_train_step(
             mesh=mesh,
             in_specs=(P(), P(), *([P(axis)] * n_batch), P(), P()),
             out_specs=(P(), P(), P()),
-            check_vma=False,  # constant-init scan carries, see train/state.py
         )
     return jax.jit(fused, donate_argnums=(0, 1) if donate else ())
 

@@ -209,16 +209,11 @@ def make_train_step(
         from jax.sharding import PartitionSpec as P
 
         in_specs = (P(), *([P(axis)] * n_batch_args), P())  # state, batch..., lr
-        # check_vma=False: the varying-manual-axes checker rejects lax.scan
-        # carries initialized from constants (ops/fps.py's scan oracle) even
-        # though the computation is correct; numerical equivalence with the
-        # GSPMD step is what tests/test_shard_map.py asserts instead.
         step_fn = jax.shard_map(
             step_fn,
             mesh=mesh,
             in_specs=in_specs,
             out_specs=(P(), P()),
-            check_vma=False,
         )
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
