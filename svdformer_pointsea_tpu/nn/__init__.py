@@ -22,6 +22,7 @@ from svdformer_pointsea_tpu.nn.layers import (
     PointNetSAModuleKNN,
     PointNetSAModule,
     PointNetFPModule,
+    PointNetFeatureExtractor,
 )
 from svdformer_pointsea_tpu.nn.precision import (
     mixed_precision_enabled,
@@ -50,6 +51,7 @@ __all__ = [
     "PointNetSAModuleKNN",
     "PointNetSAModule",
     "PointNetFPModule",
+    "PointNetFeatureExtractor",
     "set_trunk_bf16",
     "set_trunk_s2d",
     "set_mixed_precision",

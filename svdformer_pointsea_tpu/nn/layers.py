@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import functools
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as linen
 import jax
@@ -538,6 +538,55 @@ class PointNetSAModule(linen.Module):
         )(new_points, train=train)
         new_points = jnp.max(new_points, axis=2)
         return new_xyz, new_points
+
+
+class PointNetFeatureExtractor(linen.Module):
+    """Vanilla PointNet global / per-point feature extractor
+    (models/model_utils.py:631-805 — dead code in the reference, no model
+    imports it; implemented for capability parity).
+
+    Channels-last: input ``(B, N, in_channels)``. Each layer is a Dense
+    (the reference's 1x1 Conv1d) + optional BatchNorm; ReLU on every layer
+    except the last, which stays linear after its BN
+    (model_utils.py:775-793). Max over the point axis gives the global
+    feature ``(B, feat_size)``; with ``global_feat=False`` the global
+    vector is broadcast back and concatenated (global first) with the
+    post-activation FIRST-layer features (model_utils.py:797-805), giving
+    ``(B, N, feat_size + layer_dims[0])``.
+
+    ``layer_dims`` must be non-empty: the reference's degenerate
+    zero-hidden-layer configuration applies its single conv twice (its
+    first-layer and last-layer blocks alias), which is a bug we do not
+    reproduce.
+    """
+
+    feat_size: int = 1024
+    layer_dims: Sequence[int] = (64, 128)
+    global_feat: bool = True
+    batchnorm: bool = True
+
+    @linen.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        assert len(self.layer_dims) >= 1, "layer_dims must be non-empty"
+        dims = (*self.layer_dims, self.feat_size)
+        local = None
+        for i, f in enumerate(dims):
+            x = linen.Dense(f, name=f"conv{i}")(x)
+            if self.batchnorm:
+                x = BatchNorm(
+                    use_running_average=not train, axis=-1, name=f"bn{i}"
+                )(x)
+            if i < len(dims) - 1:
+                x = jax.nn.relu(x)
+            if i == 0 and not self.global_feat:
+                local = x
+        g = jnp.max(x, axis=1)  # (B, feat_size)
+        if self.global_feat:
+            return g
+        rep = jnp.broadcast_to(
+            g[:, None, :], (x.shape[0], x.shape[1], self.feat_size)
+        )
+        return jnp.concatenate([rep, local], axis=-1)
 
 
 class PointNetFPModule(linen.Module):

@@ -266,6 +266,60 @@ def test_discriminator_matches_reference(rng, reference):
     np.testing.assert_allclose(ours, ref_logit, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("global_feat", [True, False])
+def test_pointnet_feature_extractor_matches_reference(rng, reference, global_feat):
+    """PointNetFeatureExtractor (models/model_utils.py:631-805 — dead code
+    in the reference; capability-parity component, VERDICT r2 next #6):
+    global and per-point modes, weight-for-weight, eval mode."""
+    _, ref_utils = reference
+
+    import jax
+
+    from svdformer_pointsea_tpu.nn import PointNetFeatureExtractor
+
+    torch.manual_seed(3)
+    ref = ref_utils.PointNetFeatureExtractor(
+        in_channels=3, feat_size=96, layer_dims=[16, 32], global_feat=global_feat
+    )
+    ref.eval()
+    pts = make_partial(rng, 2, 64)  # (B, N, 3) — ref transposes internally
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(pts.copy())).numpy()
+
+    sd = state_dict_numpy(ref)
+    params, batch_stats = {}, {}
+    for i in range(3):
+        params[f"conv{i}"] = {
+            "kernel": sd[f"conv_layers.{i}.weight"][:, :, 0].T,
+            "bias": sd[f"conv_layers.{i}.bias"],
+        }
+        params[f"bn{i}"] = {
+            "scale": sd[f"bn_layers.{i}.weight"],
+            "bias": sd[f"bn_layers.{i}.bias"],
+        }
+        batch_stats[f"bn{i}"] = {
+            "mean": sd[f"bn_layers.{i}.running_mean"],
+            "var": sd[f"bn_layers.{i}.running_var"],
+        }
+    model = PointNetFeatureExtractor(
+        feat_size=96, layer_dims=(16, 32), global_feat=global_feat
+    )
+    ours = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            {"params": params, "batch_stats": batch_stats}, pts
+        )
+    )
+    if global_feat:
+        assert ours.shape == ref_out.shape == (2, 96)
+        np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-5)
+    else:
+        # ref: (B, feat+first, N) channels-first; ours: (B, N, feat+first).
+        assert ref_out.shape == (2, 96 + 16, 64)
+        np.testing.assert_allclose(
+            ours, np.transpose(ref_out, (0, 2, 1)), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_losses_and_metrics_match_reference(rng, reference):
     """Loss pyramids and metric calcs vs the genuine utils/loss_utils.py
     (with the CPU chamfer/FPS stand-ins): get_loss, get_loss_PM, calc_cd
