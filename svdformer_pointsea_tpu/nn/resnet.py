@@ -219,15 +219,36 @@ class PackedBatchNorm(linen.Module):
         if self.use_running_average:
             mean_c, var_c = ra_mean.value, ra_var.value
         else:
+            from svdformer_pointsea_tpu.nn.layers import _BN_ROW_WEIGHTS
+
             xf = x.astype(jnp.float32)
-            mean4 = jnp.mean(xf, axis=(0, 1, 2))  # (4C,)
-            e2_4 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
             axis = bn_axis_name()
-            if axis is not None:
-                # shard_map DP: equal-size shards, so pmean of per-shard
-                # moments is the exact global moment (nn/layers.py switch).
-                mean4 = jax.lax.pmean(mean4, axis)
-                e2_4 = jax.lax.pmean(e2_4, axis)
+            w = _BN_ROW_WEIGHTS
+            if w is not None:
+                # Pad-row exclusion (see nn/layers.py _WeightedBatchNorm):
+                # weighted per-phase sums; k = views-per-sample fold of the
+                # batch-major trunk batch (B*3 rows per B weights).
+                k, rem = divmod(x.shape[0], w.shape[0])
+                assert rem == 0, (x.shape, w.shape)
+                wf = jnp.repeat(w.astype(jnp.float32), k)
+                wb = wf.reshape((-1, 1, 1, 1))
+                s0 = jnp.sum(wf) * jnp.float32(x.shape[1] * x.shape[2])
+                s1 = jnp.sum(wb * xf, axis=(0, 1, 2))  # (4C,)
+                s2 = jnp.sum(wb * jnp.square(xf), axis=(0, 1, 2))
+                if axis is not None:
+                    s0, s1, s2 = (
+                        jax.lax.psum(s, axis) for s in (s0, s1, s2)
+                    )
+                mean4, e2_4 = s1 / s0, s2 / s0
+            else:
+                mean4 = jnp.mean(xf, axis=(0, 1, 2))  # (4C,)
+                e2_4 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+                if axis is not None:
+                    # shard_map DP: equal-size shards, so pmean of per-shard
+                    # moments is the exact global moment (nn/layers.py
+                    # switch).
+                    mean4 = jax.lax.pmean(mean4, axis)
+                    e2_4 = jax.lax.pmean(e2_4, axis)
             mean_c = jnp.mean(mean4.reshape(4, C), axis=0)
             var_c = jnp.mean(e2_4.reshape(4, C), axis=0) - jnp.square(mean_c)
             if not self.is_initializing():

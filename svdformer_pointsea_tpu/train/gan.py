@@ -129,11 +129,11 @@ def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float,
         axis = DATA_AXIS
 
     def step_fn(state: GANTrainState, partial, depth, gt, g_lr, d_lr, weights=None):
-        from svdformer_pointsea_tpu.nn.layers import bn_axis
+        from svdformer_pointsea_tpu.nn.layers import bn_axis, bn_row_weights
 
         # ---- single generator forward (with saved linearization) -------
         def g_forward(g_params):
-            with bn_axis(axis):
+            with bn_axis(axis), bn_row_weights(weights):
                 preds, mutated = g_model.apply(
                     {"params": g_params, "batch_stats": state.g_batch_stats},
                     partial,
@@ -148,7 +148,7 @@ def make_gan_train_step(g_model, d_model, g_opt, d_opt, gan_weight: float,
 
         # ---- D phase: real vs stop_grad(fake) --------------------------
         def d_loss_fn(d_params):
-            with bn_axis(axis):
+            with bn_axis(axis), bn_row_weights(weights):
                 dvar = {"params": d_params, "batch_stats": state.d_batch_stats}
                 real_logits, mut_r = d_model.apply(
                     dvar, gt, train=True, mutable=["batch_stats"]
@@ -301,10 +301,10 @@ def make_adv55_train_step(
         axis = DATA_AXIS
 
     def step_fn(state, adv, partial, depth, gt, lr, d_lr, weights=None):
-        from svdformer_pointsea_tpu.nn.layers import bn_axis
+        from svdformer_pointsea_tpu.nn.layers import bn_axis, bn_row_weights
 
         def g_forward(params):
-            with bn_axis(axis):
+            with bn_axis(axis), bn_row_weights(weights):
                 preds, mutated = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     partial,

@@ -139,9 +139,13 @@ def make_train_step(
 
     def update(state: TrainState, partial, depth, gt, lr, weights=None):
         def loss_fn(params):
-            from svdformer_pointsea_tpu.nn.layers import bn_axis
+            from svdformer_pointsea_tpu.nn.layers import bn_axis, bn_row_weights
 
-            with bn_axis(axis):
+            # bn_row_weights: pad rows (weight 0) are excluded from the BN
+            # batch moments, not just the loss — a padded step updates
+            # running stats exactly like the unpadded batch would
+            # (VERDICT r2 next #8; tests/test_train_sharding.py).
+            with bn_axis(axis), bn_row_weights(weights):
                 outs, mutated = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     partial,
