@@ -44,16 +44,16 @@ CD_BUDGET = 0.01  # x10^3, the driver's north-star tolerance
 N_SAMPLES = 4
 
 
-def _reference_eval(ref_svd, state_dict, clouds):
+def _reference_eval(ref_svd, state_dict, clouds, cfg=None, resolution=224):
     """Replay core/test_pcn.py:44-76: per-sample CD-L1x10^3, DCD, F1."""
     load_reference_models()
     import models.model_utils as ref_mu
     import utils.loss_utils as ref_losses
 
-    model = ref_svd.Model(pcn_cfg())
+    model = ref_svd.Model(cfg or pcn_cfg())
     model.load_state_dict(state_dict)
     model.eval()
-    render = ref_mu.PCViews(TRANS=-0.7, RESOLUTION=224)
+    render = ref_mu.PCViews(TRANS=-0.7, RESOLUTION=resolution)
 
     rows = []
     with torch.no_grad():
@@ -74,7 +74,7 @@ def _reference_eval(ref_svd, state_dict, clouds):
     return np.asarray(rows)  # (S, 3)
 
 
-def _our_eval(pth_path, clouds):
+def _our_eval(pth_path, clouds, model_kw=None, resolution=224):
     """Our full eval path: .pth converter + jitted render/forward/metrics."""
     import jax
     import jax.numpy as jnp
@@ -89,7 +89,9 @@ def _our_eval(pth_path, clouds):
         "params": jax.tree_util.tree_map(jnp.asarray, params),
         "batch_stats": jax.tree_util.tree_map(jnp.asarray, batch_stats),
     }
-    fn = make_pcn_eval_fn(SVDFormer(), PCViews(trans=-0.7, resolution=224))
+    fn = make_pcn_eval_fn(
+        SVDFormer(**(model_kw or {})), PCViews(trans=-0.7, resolution=resolution)
+    )
     rows = []
     for partial, gt in clouds:
         m = np.asarray(fn(variables, jnp.asarray(partial), jnp.asarray(gt)))
@@ -138,3 +140,92 @@ def test_pcn_cd_metric_parity_gate(rng):
     # DCD in [0,1); F1 in [0,1]: hold the companions to matching precision.
     assert d_dcd.max() <= 1e-3, (ref_rows[:, 1], our_rows[:, 1])
     assert d_f1.max() <= 1e-3, (ref_rows[:, 2], our_rows[:, 2])
+
+
+def test_pcn_cd_metric_parity_gate_trained_regime(rng):
+    """The gate on TRAINED-regime weights (VERDICT r2 next #4).
+
+    The random-init gate above cannot catch trained-regime drift: BatchNorm
+    running stats that evolved over many optimizer steps, Adam-shaped weight
+    distributions. Close that: run 200 genuine reference train steps on CPU
+    (the hot loop of core/train_pcn.py:101-134 — its renderer, Model.forward
+    in train mode, get_loss(sqrt=True), torch Adam with the reference
+    hyperparameters) at tiny geometry, then push the RESULTING checkpoint —
+    weights + evolved BN running stats — through both full eval pipelines on
+    held-out clouds and hold |Delta CD-L1x10^3| <= 0.01 again.
+
+    Tiny geometry (step1=step2=2, merge/local 32, 256-pt gt, 48^2 render —
+    the trunk ends in adaptive pooling, models/SVDFormer.py:134, so
+    resolution is a free parameter; the partial stays at 2048 points
+    because SVFNet hard-codes N//8 in its seed reshape,
+    models/SVDFormer.py:163): BN-stat evolution and optimizer effects are
+    architecture-uniform, and full geometry would be hours of torch CPU
+    arithmetic. Measured ~1 s/reference-step at this geometry.
+    """
+    ref_svd, ref_mu = load_reference_models()
+    import utils.loss_utils as ref_losses
+
+    cfg = pcn_cfg()
+    cfg.NETWORK.step1 = 2
+    cfg.NETWORK.step2 = 2
+    cfg.NETWORK.local_points = 32
+    cfg.NETWORK.merge_points = 32
+    model_kw = dict(step1=2, step2=2, merge_points=32, local_points=32)
+    res = 48
+
+    torch.manual_seed(1)
+    model = ref_svd.Model(cfg)
+    model.train()
+    render = ref_mu.PCViews(TRANS=-0.7, RESOLUTION=res)
+    # Reference optimizer: Adam(lr=1e-4, wd=0, betas=(.9,.999))
+    # (core/train_pcn.py:58-60, config_pcn.py TRAIN block).
+    opt = torch.optim.Adam(
+        model.parameters(), lr=1e-4, weight_decay=0, betas=(0.9, 0.999)
+    )
+    data = [
+        (make_partial(rng, 2, 2048), make_partial(rng, 2, 256))
+        for _ in range(8)
+    ]
+    for step in range(200):
+        partial, gt = data[step % len(data)]
+        tp = torch.from_numpy(partial.copy())
+        tg = torch.from_numpy(gt.copy())
+        depth = torch.unsqueeze(render.get_img(tp), 1)
+        preds = model(tp.contiguous(), depth)
+        loss, _ = ref_losses.get_loss(preds, tg, sqrt=True)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    assert np.isfinite(loss.item())
+    state_dict = model.state_dict()
+    # BN running stats must actually have evolved, or this gate is the
+    # random-init one in disguise.
+    bn_means = [
+        v for k, v in state_dict.items() if k.endswith("running_mean")
+    ]
+    assert max(float(m.abs().max()) for m in bn_means) > 1e-3
+
+    clouds = [
+        (make_partial(rng, 1, 2048), make_partial(rng, 1, 256))
+        for _ in range(3)
+    ]
+    ref_rows = _reference_eval(ref_svd, state_dict, clouds, cfg, res)
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pth = os.path.join(td, "ckpt-best.pth")
+        torch.save(
+            {"model": {f"module.{k}": v for k, v in state_dict.items()}}, pth
+        )
+        our_rows = _our_eval(pth, clouds, model_kw, res)
+
+    d_cd = np.abs(ref_rows[:, 0] - our_rows[:, 0])
+    print(
+        f"\ntrained-regime gate: CD-L1x10^3 ref={ref_rows[:,0].round(5)} "
+        f"ours={our_rows[:,0].round(5)} |dCD| max={d_cd.max():.6f}"
+    )
+    assert d_cd.max() <= CD_BUDGET, (ref_rows[:, 0], our_rows[:, 0])
+    assert np.abs(ref_rows[:, 1] - our_rows[:, 1]).max() <= 1e-3
+    assert np.abs(ref_rows[:, 2] - our_rows[:, 2]).max() <= 1e-3
