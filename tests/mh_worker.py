@@ -1,15 +1,17 @@
 """Worker process for the multi-host DP rehearsal test.
 
-Usage: python mh_worker.py <process_id> <num_processes> <port> <devices_per_proc> [impl]
-
-``impl``: "gspmd" (default) or "shard_map" — which DP step implementation
-to rehearse (train/state.py::make_train_step's mesh= switch).
+Usage: python mh_worker.py <process_id> <num_processes> <port> <devices_per_proc>
 
 Each process owns ``devices_per_proc`` fake CPU devices; together they form
 one global ``data`` mesh (gloo collectives over the distributed runtime —
 the CPU stand-in for a DCN-spanning TPU slice). Runs ONE DP train step of
 the tiny SVDFormer with each process feeding only its local shard via
-``shard_host_local_batch`` and prints the resulting global loss.
+``shard_host_local_batch`` and prints the resulting global loss — for BOTH
+step implementations (train/state.py::make_train_step's mesh= switch):
+GSPMD and the shard_map per-device body. One process pair covering both
+legs shares the spawn, jax.distributed init, imports, and train-state init
+that dominated the previous two-pair version's wall time (VERDICT r2
+next #7).
 """
 
 import os
@@ -18,7 +20,6 @@ import sys
 
 def main() -> None:
     pid, nprocs, port, dpp = (int(a) for a in sys.argv[1:5])
-    impl = sys.argv[5] if len(sys.argv) > 5 else "gspmd"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={dpp}"
 
@@ -73,35 +74,37 @@ def main() -> None:
     state = jax.device_put(state, replicated_sharding(mesh))
     batch = shard_host_local_batch(local, mesh)
 
-    train_step = make_train_step(
-        model, optimizer, donate=False,
-        mesh=mesh if impl == "shard_map" else None,
-    )
-    # AOT-compile, then rendezvous at a coordination-service barrier before
-    # executing: gloo's collective-context init times out after 30 s, and on
-    # a loaded single-CPU host the two processes can finish compiling
-    # minutes apart — executing without this barrier makes the early
-    # process's gloo connect expire while the peer is still compiling.
-    args = (
-        state,
-        batch["partial"],
-        batch["depth"],
-        batch["gt"],
-        jnp.float32(1e-4),
-    )
-    compiled = train_step.lower(*args).compile()
     from jax._src import distributed  # test-only use of the private client
 
-    distributed.global_state.client.wait_at_barrier(
-        "mh_worker_compiled", 1_200_000
-    )
-    _, metrics = compiled(*args)
-    # The loss is replicated (psum in-step): read the local shard directly.
-    # float() on a multi-process global array goes through process_allgather
-    # — an extra gloo clique whose 30 s context-init flakes on a loaded
-    # single-CPU host.
-    loss = float(np.asarray(metrics["loss"].addressable_data(0)))
-    print(f"MHLOSS {pid} {loss:.10f}", flush=True)
+    for impl in ("gspmd", "shard_map"):
+        train_step = make_train_step(
+            model, optimizer, donate=False,
+            mesh=mesh if impl == "shard_map" else None,
+        )
+        # AOT-compile, then rendezvous at a coordination-service barrier
+        # before executing: gloo's collective-context init times out after
+        # 30 s, and on a loaded single-CPU host the two processes can finish
+        # compiling minutes apart — executing without this barrier makes the
+        # early process's gloo connect expire while the peer is still
+        # compiling.
+        args = (
+            state,
+            batch["partial"],
+            batch["depth"],
+            batch["gt"],
+            jnp.float32(1e-4),
+        )
+        compiled = train_step.lower(*args).compile()
+        distributed.global_state.client.wait_at_barrier(
+            f"mh_worker_compiled_{impl}", 1_200_000
+        )
+        _, metrics = compiled(*args)
+        # The loss is replicated (psum in-step): read the local shard
+        # directly. float() on a multi-process global array goes through
+        # process_allgather — an extra gloo clique whose 30 s context-init
+        # flakes on a loaded single-CPU host.
+        loss = float(np.asarray(metrics["loss"].addressable_data(0)))
+        print(f"MHLOSS {impl} {pid} {loss:.10f}", flush=True)
 
 
 if __name__ == "__main__":

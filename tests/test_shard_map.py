@@ -361,7 +361,6 @@ def test_loss_axis_name_matches_global_mean(rng):
             mesh=mesh,
             in_specs=(P("data"),) * 5,
             out_specs=(P(), P()),
-            check_vma=False,  # fps_subsample's scan carry (see train/state.py)
         )
     )(pc, p1, p2, gt, w)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)

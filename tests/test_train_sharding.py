@@ -25,8 +25,8 @@ def test_eight_cpu_devices_available():
 
 @pytest.mark.heavy
 def test_dryrun_multichip_entrypoint():
-    # ~4.5 min warm-cache on this 1-CPU box (PCN-structural geometry,
-    # batch 12->16 pad rehearsal, fused render): heavy tier.
+    # Tiny geometry since round 3 (full model structure, batch 12->16 pad
+    # rehearsal, fused render; three legs: GSPMD / 2-D sp / shard_map).
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
@@ -74,6 +74,60 @@ def test_train_loss_decreases_on_fixed_batch(rng):
     # Adam transient can overshoot early; the tail must sit well below the
     # early plateau once the fixed batch is being overfit.
     assert np.mean(losses[-3:]) < 0.5 * np.max(losses[:3]), losses
+
+
+@pytest.mark.heavy
+def test_padded_bn_moments_exact(rng):
+    """Pad rows must not perturb BatchNorm batch moments (VERDICT r2 #8).
+
+    B=6 on a 4-device mesh pads to 8 rows (parallel.pad_batch). With the
+    weighted-moment BatchNorm (nn/layers.py bn_row_weights) the padded
+    step's updated running stats — and the loss — must match the SAME step
+    on the unpadded 6-row batch on a 1-device mesh. Before this fix the
+    repeated rows were double-weighted into every BN moment, permanently
+    skewing running stats for any global batch that doesn't divide the pod
+    (the flagship PCN B12-on-8-chips case)."""
+    from svdformer_pointsea_tpu.parallel import pad_batch
+    from svdformer_pointsea_tpu.render import PCViews
+
+    model = SVDFormer(step1=2, step2=2, merge_points=32, local_points=32)
+    B, N, res = 6, 128, 16
+    partial = rng.rand(B, N, 3).astype(np.float32) * 0.5
+    gt = rng.rand(B, 128, 3).astype(np.float32) * 0.5
+
+    render = PCViews(trans=-0.7, resolution=res)
+    optimizer = make_optimizer()
+    state0 = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        (jnp.asarray(partial[:1]), render.get_img(jnp.asarray(partial[:1]))),
+        optimizer,
+    )
+    step = make_train_step(
+        model, optimizer, donate=False, render_fn=render.render
+    )
+
+    results = []
+    for ndev in (1, 4):
+        mesh = make_mesh(jax.devices()[:ndev])
+        (p, g), w = pad_batch((partial, gt), mesh)
+        assert (w.shape[0], w.sum()) == ((6, 6.0) if ndev == 1 else (8, 6.0))
+        st = jax.device_put(state0, replicated_sharding(mesh))
+        bsh = batch_sharding(mesh)
+        p, g, w = (jax.device_put(jnp.asarray(x), bsh) for x in (p, g, w))
+        st1, m = step(st, p, g, w, jnp.float32(1e-4))
+        results.append((st1, float(m["loss"])))
+
+    (st_a, loss_a), (st_b, loss_b) = results
+    assert np.isclose(loss_a, loss_b, rtol=1e-5), (loss_a, loss_b)
+    flat_a = jax.tree_util.tree_leaves_with_path(st_a.batch_stats)
+    flat_b = jax.tree_util.tree_leaves(st_b.batch_stats)
+    assert flat_a and len(flat_a) == len(flat_b)
+    for (path, x), y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
 
 
 @pytest.mark.heavy  # 244 s on this 1-CPU box (model-scale 8-device step)
@@ -142,7 +196,10 @@ def test_multihost_dp_rehearsal(rng):
     # A free rendezvous port per run (fixed ports collide across sessions).
     import socket
 
-    def run_pair(impl="gspmd"):
+    def run_pair():
+        # ONE pair of processes runs BOTH step implementations (gspmd +
+        # shard_map) sequentially, sharing spawn/distributed-init/train-state
+        # costs (VERDICT r2 next #7 — this was two pairs at ~2x the wall).
         with socket.socket() as sock:
             sock.bind(("localhost", 0))
             port = sock.getsockname()[1]
@@ -151,7 +208,7 @@ def test_multihost_dp_rehearsal(rng):
                 # 2 procs x 2 fake devices: multi-process sharding semantics
                 # are device-count-independent, and 4 fake devices halve the
                 # serialized single-CPU simulation vs the previous 8.
-                [sys.executable, worker, str(pid), "2", str(port), "2", impl],
+                [sys.executable, worker, str(pid), "2", str(port), "2"],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
                 env=env,
@@ -159,15 +216,15 @@ def test_multihost_dp_rehearsal(rng):
             )
             for pid in range(2)
         ]
-        outs = [p.communicate(timeout=600)[0] for p in procs]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
         if any(p.returncode != 0 for p in procs):
             return None, outs
         losses = {}
         for out in outs:
             for line in out.splitlines():
                 if line.startswith("MHLOSS"):
-                    _, pid, val = line.split()
-                    losses[int(pid)] = float(val)
+                    _, impl, pid, val = line.split()
+                    losses[(impl, int(pid))] = float(val)
         return losses, outs
 
     def starved(outs):
@@ -191,8 +248,10 @@ def test_multihost_dp_rehearsal(rng):
         if losses is None and starved(outs):
             pytest.skip("gloo collective-context starvation (single-CPU host)")
     assert losses is not None, outs[0][-1500:] + outs[1][-1500:]
-    assert set(losses) == {0, 1}, outs
-    assert losses[0] == losses[1]
+    assert set(losses) == {
+        (impl, pid) for impl in ("gspmd", "shard_map") for pid in (0, 1)
+    }, outs
+    assert losses[("gspmd", 0)] == losses[("gspmd", 1)]
 
     # Single-process 4-device reference (same data derivation as the worker:
     # global mesh = 2 procs x 2 fake devices).
@@ -216,13 +275,14 @@ def test_multihost_dp_rehearsal(rng):
     _, metrics = step(
         state, batch["partial"], batch["depth"], batch["gt"], jnp.float32(1e-4)
     )
-    np.testing.assert_allclose(losses[0], float(metrics["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        losses[("gspmd", 0)], float(metrics["loss"]), rtol=1e-5
+    )
 
-    # shard_map leg: the per-device step body over the same 2-process mesh
-    # (DCN-ready claim for --dp shard_map). Same global loss expected.
-    sm_losses, sm_outs = run_pair("shard_map")
-    if sm_losses is None and starved(sm_outs):
-        pytest.skip("gloo starvation on the shard_map leg (single-CPU host)")
-    assert sm_losses is not None, sm_outs[0][-1500:] + sm_outs[1][-1500:]
-    assert sm_losses[0] == sm_losses[1]
-    np.testing.assert_allclose(sm_losses[0], losses[0], rtol=1e-5)
+    # shard_map leg (ran in the same process pair): the per-device step body
+    # over the same 2-process mesh (DCN-ready claim for --dp shard_map).
+    # Same global loss expected.
+    assert losses[("shard_map", 0)] == losses[("shard_map", 1)]
+    np.testing.assert_allclose(
+        losses[("shard_map", 0)], losses[("gspmd", 0)], rtol=1e-5
+    )
