@@ -6,7 +6,12 @@ geometry — self-view depth rendering (3x224x224) + forward pass
 chip, steady-state (post-compile), best batch size among a small sweep.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "mfu": ...}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "mfu": ...,
+     "train_ms_per_step": N, "train_samples_per_sec": N, "train_mfu": N}
+
+The ``train_*`` keys time the fused PCN train step (render-in-step
+fwd+bwd+Adam at the reference geometry, B12 f32) so driver history catches
+train-path regressions, not just inference (VERDICT r2 next #3).
 
 ``mfu`` is model FLOPs utilization: XLA's own cost analysis of the compiled
 pipeline (fwd FLOPs per batch) divided by (measured wall time x the chip's
@@ -61,6 +66,82 @@ def _chip_peak_flops() -> float:
         if tag in kind:
             return peak
     return 197e12  # unknown chip: assume v5e-class
+
+
+def _bench_train_step() -> dict:
+    """Train-path throughput (VERDICT r2 next #3): the fused PCN train step
+    (render-in-step fwd+bwd+Adam, reference geometry B12 f32,
+    core/train_pcn.py:101-134's hot loop) — chained steps, ONE sync at the
+    end (per-call blocking would measure tunnel RPC latency, not device
+    time). Returns {} on failure so the inference metric still reports."""
+    try:
+        from svdformer_pointsea_tpu.configs import pcn_config
+        from svdformer_pointsea_tpu.parallel import (
+            make_mesh_for_batch,
+            replicated_sharding,
+            shard_batch,
+        )
+        from svdformer_pointsea_tpu.render import make_renderer
+        from svdformer_pointsea_tpu.train.loop import build_model, init_state
+        from svdformer_pointsea_tpu.train.state import (
+            make_optimizer,
+            make_train_step,
+        )
+
+        B = 12
+        cfg = pcn_config()
+        model = build_model(cfg)
+        optimizer = make_optimizer(
+            weight_decay=cfg.train.weight_decay, betas=cfg.train.betas
+        )
+        state = init_state(cfg, model, optimizer, seed=1)
+        mesh = make_mesh_for_batch(B)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        render = make_renderer(cfg)
+        step = make_train_step(
+            model, optimizer, sqrt_loss=cfg.train.sqrt_loss,
+            render_fn=render.render,
+        )
+
+        rng = np.random.RandomState(0)
+        partial = rng.rand(B, cfg.data.n_points, 3).astype(np.float32) * 0.5
+        gt = rng.rand(B, cfg.data.gt_points, 3).astype(np.float32) * 0.5
+        w = np.ones((B,), np.float32)
+        args = shard_batch(
+            tuple(jnp.asarray(x) for x in (partial, gt, w)), mesh
+        )
+
+        # Cost analysis BEFORE the timed loop (donation consumes the state).
+        flops = None
+        try:
+            cost = step.lower(state, *args, jnp.float32(1e-4)).compile(
+            ).cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            pass
+
+        state, metrics = step(state, *args, jnp.float32(1e-4))  # compile+warm
+        jax.block_until_ready(metrics)
+        n_iter = 20
+        pend = []
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            state, metrics = step(state, *args, jnp.float32(1e-4))
+            pend.append(metrics)
+        jax.block_until_ready((state, pend))
+        dt = (time.perf_counter() - t0) / n_iter
+        out = {
+            "train_ms_per_step": round(dt * 1e3, 1),
+            "train_samples_per_sec": round(B / dt, 2),
+            "train_batch": B,
+        }
+        if flops:
+            out["train_mfu"] = round(flops / dt / _chip_peak_flops(), 4)
+        return out
+    except Exception as e:  # never sink the inference metric
+        return {"train_bench_error": f"{type(e).__name__}: {e}"}
 
 
 def main() -> None:
@@ -139,23 +220,21 @@ def main() -> None:
     except Exception:
         pass  # cost analysis unavailable on this backend; mfu stays null
 
-    print(
-        json.dumps(
-            {
-                "metric": f"pcn_completions_per_sec_chip(bs={best_bs})",
-                "value": round(best, 2),
-                "unit": "completions/s",
-                "vs_baseline": round(best / TARGET, 3),
-                "vs_baseline_range": [
-                    round(best / (2.0 * A100_REF_BRACKET[1]), 3),
-                    round(best / (2.0 * A100_REF_BRACKET[0]), 3),
-                ],
-                "mfu": mfu,
-                "flops_per_completion": flops_per_completion,
-                "device_kind": jax.devices()[0].device_kind,
-            }
-        )
-    )
+    record = {
+        "metric": f"pcn_completions_per_sec_chip(bs={best_bs})",
+        "value": round(best, 2),
+        "unit": "completions/s",
+        "vs_baseline": round(best / TARGET, 3),
+        "vs_baseline_range": [
+            round(best / (2.0 * A100_REF_BRACKET[1]), 3),
+            round(best / (2.0 * A100_REF_BRACKET[0]), 3),
+        ],
+        "mfu": mfu,
+        "flops_per_completion": flops_per_completion,
+        "device_kind": jax.devices()[0].device_kind,
+    }
+    record.update(_bench_train_step())
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
