@@ -173,30 +173,43 @@ def test_pcn_cd_metric_parity_gate_trained_regime(rng):
     model_kw = dict(step1=2, step2=2, merge_points=32, local_points=32)
     res = 48
 
+    import os
+
     torch.manual_seed(1)
     model = ref_svd.Model(cfg)
-    model.train()
-    render = ref_mu.PCViews(TRANS=-0.7, RESOLUTION=res)
-    # Reference optimizer: Adam(lr=1e-4, wd=0, betas=(.9,.999))
-    # (core/train_pcn.py:58-60, config_pcn.py TRAIN block).
-    opt = torch.optim.Adam(
-        model.parameters(), lr=1e-4, weight_decay=0, betas=(0.9, 0.999)
-    )
+    # Drawn before the cache check so the held-out eval clouds below see
+    # the same rng state on cold and warm runs.
     data = [
         (make_partial(rng, 2, 2048), make_partial(rng, 2, 256))
         for _ in range(8)
     ]
-    for step in range(200):
-        partial, gt = data[step % len(data)]
-        tp = torch.from_numpy(partial.copy())
-        tg = torch.from_numpy(gt.copy())
-        depth = torch.unsqueeze(render.get_img(tp), 1)
-        preds = model(tp.contiguous(), depth)
-        loss, _ = ref_losses.get_loss(preds, tg, sqrt=True)
-        opt.zero_grad()
-        loss.backward()
-        opt.step()
-    assert np.isfinite(loss.item())
+    # The 200-step torch training is deterministic (seeded init, fixed
+    # data); cache its result like the XLA compile cache so warm suite
+    # runs skip the ~3.5 min retrain. Delete the file to force a retrain.
+    cache = "/tmp/svdformer_test_cache_trained_sd_v1.pt"
+    if os.path.exists(cache):
+        state_dict = torch.load(cache, weights_only=True)
+        model.load_state_dict(state_dict)  # validates shape compatibility
+    else:
+        model.train()
+        render = ref_mu.PCViews(TRANS=-0.7, RESOLUTION=res)
+        # Reference optimizer: Adam(lr=1e-4, wd=0, betas=(.9,.999))
+        # (core/train_pcn.py:58-60, config_pcn.py TRAIN block).
+        opt = torch.optim.Adam(
+            model.parameters(), lr=1e-4, weight_decay=0, betas=(0.9, 0.999)
+        )
+        for step in range(200):
+            partial, gt = data[step % len(data)]
+            tp = torch.from_numpy(partial.copy())
+            tg = torch.from_numpy(gt.copy())
+            depth = torch.unsqueeze(render.get_img(tp), 1)
+            preds = model(tp.contiguous(), depth)
+            loss, _ = ref_losses.get_loss(preds, tg, sqrt=True)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        assert np.isfinite(loss.item())
+        torch.save(model.state_dict(), cache)
     state_dict = model.state_dict()
     # BN running stats must actually have evolved, or this gate is the
     # random-init one in disguise.
