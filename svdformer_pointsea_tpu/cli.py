@@ -49,6 +49,12 @@ def _parser(track: str) -> argparse.ArgumentParser:
         "(data, sp) mesh; must divide the device count; default 1 = pure DP)",
     )
     p.add_argument(
+        "--progress", action="store_true",
+        help="live per-batch loss line (the reference's tqdm postfix, "
+        "core/train_pcn.py:129-130) via a one-step-lag pipelined metric "
+        "fetch — the device stays a dispatch ahead, so it costs nothing",
+    )
+    p.add_argument(
         "--dp", default=None, choices=["gspmd", "shard_map"],
         help="DP implementation: gspmd (XLA partitions the jitted graph; "
         "default) or shard_map (per-chip step body — keeps the Pallas fast "
@@ -92,6 +98,10 @@ def _apply_overrides(cfg: Config, args) -> Config:
         import dataclasses
 
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, dp=args.dp))
+    if getattr(args, "progress", False):
+        import dataclasses
+
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, progress=True))
     return cfg
 
 

@@ -84,6 +84,11 @@ class TrainConfig:
     # "bf16" (TPU mixed precision: bf16 image-trunk compute + bf16
     # flash-attention inputs, params/optimizer f32 — nn/precision.py).
     precision: str = "f32"
+    # Live per-batch loss display (the reference's tqdm postfix,
+    # core/train_pcn.py:100,129-130). TPU-pipelined: after dispatching
+    # step N the host fetches step N-1's metrics, which the device has
+    # already finished — live losses without serializing dispatch.
+    progress: bool = False
     # DP implementation: "gspmd" (jit + shardings; XLA partitions the
     # graph) or "shard_map" (each chip runs the whole step body on its
     # local batch shard — keeps the Pallas fast paths active per-chip on a

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import logging
 import os
+import sys
 import time
 from typing import Any, Optional
 
@@ -459,10 +460,27 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
     global_step = int(state.step)
     logger = SummaryLogger(os.path.join(cfg.out_path, "logs"))
 
+    # Live per-batch g/d losses (the reference's tqdm postfix,
+    # core/train_geospec.py batch loop) via the same one-step-lag
+    # pipelined fetch as train_net — never blocks device dispatch.
+    progress = bool(getattr(tcfg, "progress", False))
+
     for epoch in range(start_epoch, n_epochs + 1):
         t0 = time.time()
         losses = AverageMeter(["g_loss", "d_loss"])
         pending = []  # defer device->host syncs to once per epoch
+
+        def consume(entries):
+            """Fetch + meter + log a list of (step, metrics) entries."""
+            vals = None
+            for step_i, metrics in jax.device_get(entries):
+                vals = [float(metrics["g_loss"]), float(metrics["d_loss"])]
+                losses.update(vals)
+                logger.add_scalar("Train/g_loss", vals[0], int(step_i))
+                logger.add_scalar("Train/d_loss", vals[1], int(step_i))
+            return vals
+
+        n_epoch_batches = 0
         for batch in train_loader:
             (partial, gt), w = pad_batch(
                 (batch.data["partial_cloud"], batch.data["gtcloud"]), mesh
@@ -472,13 +490,22 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
             state, metrics = step_fn(state, partial, gt, w, lr, lr)
             global_step += 1
             pending.append((global_step, metrics))
+            if progress and len(pending) > 1:
+                step_i = pending[0][0]
+                vals = consume([pending.pop(0)])
+                sys.stderr.write(
+                    f"\repoch {epoch} step {step_i} "
+                    f"g={vals[0]:.4f} d={vals[1]:.4f}  "
+                )
+                sys.stderr.flush()
+            n_epoch_batches += 1
             if max_steps is not None and global_step >= max_steps:
                 break
 
-        for step_i, metrics in jax.device_get(pending):
-            losses.update([float(metrics["g_loss"]), float(metrics["d_loss"])])
-            logger.add_scalar("Train/g_loss", float(metrics["g_loss"]), int(step_i))
-            logger.add_scalar("Train/d_loss", float(metrics["d_loss"]), int(step_i))
+        consume(pending)
+        pending.clear()
+        if progress and n_epoch_batches:
+            sys.stderr.write("\n")
 
         logging.info(
             "Epoch %d/%d t=%.1fs g=%.4f d=%.4f",

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 import os
+import sys
 import time
 from typing import Optional
 
@@ -208,6 +209,13 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
         trace_dir=trace_dir, trace_steps=(5,) if trace_dir else ()
     )
 
+    # Live per-batch display (the reference's tqdm postfix,
+    # core/train_pcn.py:100,129-130). Fetching the CURRENT step's metrics
+    # would block dispatch; instead the host fetches step N-1's after
+    # dispatching step N — the device has already finished N-1 and is
+    # busy on N, so the live line is free (one-step lag).
+    progress = bool(getattr(tcfg, "progress", False))
+
     for epoch in range(start_epoch, n_epochs + 1):
         epoch_t0 = time.time()
         losses = AverageMeter(["cdc", "cd1", "cd2"])
@@ -215,6 +223,21 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
         batch_time = AverageMeter()
         n_epoch_batches = 0
         pending = []  # (step, lr, device metrics) — fetched once per epoch
+
+        def consume(entries):
+            """Fetch + meter + log a list of (step, lr, metrics) entries."""
+            vals = None
+            for step_i, lr_i, metrics in jax.device_get(entries):
+                vals = [
+                    float(metrics["cdc"]) * 1e3,
+                    float(metrics["cd1"]) * 1e3,
+                    float(metrics["cd2"]) * 1e3,
+                ]
+                losses.update(vals)
+                logger.add_scalar("Train/loss", float(metrics["loss"]), int(step_i))
+                logger.add_scalar("Train/lr", float(lr_i), int(step_i))
+            return vals
+
         for batch in train_loader:
             timer.mark_data()
             lr = lr_fn(global_step + 1, epoch - 1)
@@ -249,6 +272,15 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
             # behind); the honest per-step wall clock is computed below
             # after the epoch-end sync.
             pending.append((global_step, lr, metrics))
+            if progress and len(pending) > 1:
+                step_i, lr_i, _ = pending[0]
+                vals = consume([pending.pop(0)])
+                sys.stderr.write(
+                    f"\repoch {epoch} step {step_i} losses(x1e3) "
+                    f"cdc={vals[0]:.3f} cd1={vals[1]:.3f} cd2={vals[2]:.3f} "
+                    f"lr={lr_i:.2e}  "
+                )
+                sys.stderr.flush()
             n_epoch_batches += 1
             timer.mark_batch(global_step)
             data_time.update(timer.data_time)
@@ -256,19 +288,12 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
             if max_steps is not None and global_step >= max_steps:
                 break
 
-        for step_i, lr_i, metrics in jax.device_get(pending):
-            losses.update(
-                [
-                    float(metrics["cdc"]) * 1e3,
-                    float(metrics["cd1"]) * 1e3,
-                    float(metrics["cd2"]) * 1e3,
-                ]
-            )
-            logger.add_scalar("Train/loss", float(metrics["loss"]), int(step_i))
-            logger.add_scalar("Train/lr", float(lr_i), int(step_i))
+        consume(pending)
         pending.clear()
+        if progress and n_epoch_batches:
+            sys.stderr.write("\n")
 
-        # jax.device_get(pending) above blocked on every step, so the epoch
+        # consume(pending) above blocked on every step, so the epoch
         # wall clock here is the honest end-to-end figure; `dispatch=` is
         # host-side enqueue only (the device runs behind the loop).
         logging.info(

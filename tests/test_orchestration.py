@@ -105,8 +105,14 @@ def test_checkpoint_manager_policy(tmp_path):
 
 @pytest.mark.heavy
 def test_micro_train_pcn_end_to_end(tmp_path, rng):
-    """Full train_net: data from disk -> render -> step -> eval -> ckpt."""
+    """Full train_net: data from disk -> render -> step -> eval -> ckpt.
+
+    Runs with the live-progress display on (cfg.train.progress): the
+    one-step-lag pipelined fetch must produce the same meters/logs as the
+    default epoch-end drain.
+    """
     cfg = _tiny_pcn_config(tmp_path, rng)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, progress=True))
     state, best = train_net(cfg, max_epochs=1)
     assert np.isfinite(best)
     assert int(state.step) == 2  # 3 samples, batch 2, pad -> 2 steps

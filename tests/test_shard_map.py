@@ -125,7 +125,9 @@ def test_micro_train_gan_shard_map_end_to_end(tmp_path, rng):
     cfg = _tiny_pcn_config(tmp_path, rng)
     cfg = cfg.replace(
         network=dataclasses.replace(cfg.network, model="geospecnet"),
-        train=dataclasses.replace(cfg.train, dp="shard_map", batch_size=12),
+        train=dataclasses.replace(
+            cfg.train, dp="shard_map", batch_size=12, progress=True
+        ),
     )
     state, best = train_net_gan(cfg, max_epochs=1)
     assert np.isfinite(best)
