@@ -35,6 +35,19 @@ def _parser(track: str) -> argparse.ArgumentParser:
     p.add_argument("--weights", default=None, help="checkpoint to load")
     p.add_argument("--out", default=None, help="output directory override")
     p.add_argument(
+        "--complete", default=None, metavar="PATH",
+        help="standalone completion: a .pcd/.npy/.h5/.txt file or a "
+        "directory of them — each scan is resampled to the model's input "
+        "size, completed through the jitted forward, and written as "
+        "<stem>_completion.pcd (beyond-reference: the reference only "
+        "completes samples routed through its dataset classes)",
+    )
+    p.add_argument(
+        "--no-normalize", action="store_true",
+        help="with --complete: skip mapping scans into the PCN frame "
+        "(centroid->origin, max radius 0.5) before the model and back after",
+    )
+    p.add_argument(
         "--epochs", type=int, default=None, help="override number of epochs"
     )
     p.add_argument(
@@ -114,6 +127,19 @@ def _dispatch(cfg: Config, args, mode=None) -> None:
 
     print("Use config:")
     pprint(cfg)
+    if getattr(args, "complete", None):
+        if cfg.weights is None:
+            raise SystemExit(
+                "--complete needs a trained checkpoint (--weights)!"
+            )
+        from svdformer_pointsea_tpu.train.infer import infer_files
+
+        outs = infer_files(
+            cfg, args.complete, out_dir=args.out,
+            normalize=not getattr(args, "no_normalize", False),
+        )
+        print(f"wrote {len(outs)} completions")
+        return
     if not args.test and not args.inference:
         if cfg.network.model == "geospecnet":
             if int(getattr(cfg.train, "sp", 1)) > 1:

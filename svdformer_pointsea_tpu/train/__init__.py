@@ -14,7 +14,14 @@ from svdformer_pointsea_tpu.train.checkpoint import (
     save_checkpoint,
 )
 from svdformer_pointsea_tpu.train.evaluate import eval_55, eval_pcn
-from svdformer_pointsea_tpu.train.loop import build_model, init_state, test_net, train_net
+from svdformer_pointsea_tpu.train.infer import infer_files
+from svdformer_pointsea_tpu.train.loop import (
+    build_model,
+    init_state,
+    load_weights_into_state,
+    test_net,
+    train_net,
+)
 from svdformer_pointsea_tpu.train.convert import (
     convert_state_dict,
     load_torch_checkpoint,
@@ -41,7 +48,9 @@ __all__ = [
     "eval_55",
     "eval_pcn",
     "build_model",
+    "infer_files",
     "init_state",
+    "load_weights_into_state",
     "test_net",
     "train_net",
     "GANTrainState",

@@ -328,6 +328,23 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
     return state, ckpts.best_metric
 
 
+def load_weights_into_state(state, cfg: Config):
+    """Load ``cfg.weights`` into a TrainState: native checkpoints via
+    restore_checkpoint, reference torch ``.pth``/``.pt`` via the converter
+    (train/convert.py). No-op when cfg.weights is None."""
+    if cfg.weights and cfg.weights.endswith((".pth", ".pt")):
+        from svdformer_pointsea_tpu.train.convert import load_torch_checkpoint
+
+        params, batch_stats = load_torch_checkpoint(cfg.weights)
+        return state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, params),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, batch_stats),
+        )
+    if cfg.weights:
+        state, _, _ = restore_checkpoint(cfg.weights, state)
+    return state
+
+
 def test_net(cfg: Config, mode: Optional[str] = None) -> float:
     """Standalone evaluation (core/test_pcn.py / core/test_55.py)."""
     set_seed(cfg.seed)
@@ -340,17 +357,7 @@ def test_net(cfg: Config, mode: Optional[str] = None) -> float:
     model = build_model(cfg)
     optimizer = make_optimizer(weight_decay=cfg.train.weight_decay)
     state = init_state(cfg, model, optimizer, seed=cfg.seed)
-    if cfg.weights and cfg.weights.endswith((".pth", ".pt")):
-        # Reference torch checkpoint: translate in place (train/convert.py).
-        from svdformer_pointsea_tpu.train.convert import load_torch_checkpoint
-
-        params, batch_stats = load_torch_checkpoint(cfg.weights)
-        state = state.replace(
-            params=jax.tree_util.tree_map(jnp.asarray, params),
-            batch_stats=jax.tree_util.tree_map(jnp.asarray, batch_stats),
-        )
-    elif cfg.weights:
-        state, _, _ = restore_checkpoint(cfg.weights, state)
+    state = load_weights_into_state(state, cfg)
     ds = make_dataset(cfg, "test", seed=cfg.seed)
     loader = Loader(ds, cfg.train.batch_size, shuffle=False, num_workers=cfg.data.num_workers)
     variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -378,3 +378,61 @@ def test_micro_train_pointsea_end_to_end(tmp_path, rng):
     state, best = train_net(cfg, max_epochs=1)
     assert np.isfinite(best)
     assert int(state.step) == 1
+
+
+def test_infer_files_standalone_completion(tmp_path, rng):
+    """--complete surface: arbitrary-size scans in mixed formats ->
+    fixed-shape batched forward -> completions written back in the scan's
+    original frame (train/infer.py; beyond-reference serving surface)."""
+    from svdformer_pointsea_tpu.train.infer import (
+        _resample,
+        _to_pcn_frame,
+        infer_files,
+    )
+
+    # Resample semantics (reference RandomSamplePoints): enough points ->
+    # without replacement (all rows distinct); too few -> keep all, top up.
+    r = np.random.RandomState(0)
+    big = rng.rand(50, 3).astype(np.float32)
+    out = _resample(big, 8, r)
+    assert out.shape == (8, 3) and len(np.unique(out, axis=0)) == 8
+    small = rng.rand(5, 3).astype(np.float32)
+    out = _resample(small, 8, r)
+    assert out.shape == (8, 3)
+    assert all(any(np.allclose(row, s) for s in small) for row in out)
+
+    # Frame mapping roundtrip: scan -> PCN frame -> back is identity.
+    scan = (rng.rand(40, 3).astype(np.float32) - 0.5) * 7.0 + np.float32(100.0)
+    norm, centroid, scale = _to_pcn_frame(scan)
+    assert np.linalg.norm(norm, axis=1).max() == pytest.approx(0.5, rel=1e-5)
+    np.testing.assert_allclose(norm / scale + centroid, scan, rtol=2e-5, atol=2e-4)
+
+    # End-to-end on 3 scans (mixed ext, mixed sizes, off-origin frame),
+    # random-init weights (smoke path; infer_files warns).
+    cfg = _tiny_pcn_config(tmp_path, rng, gt_points=256, n_points=128)
+    scans = tmp_path / "scans"
+    scans.mkdir()
+    write_pcd(str(scans / "a.pcd"), rng.rand(300, 3).astype(np.float32) + 50.0)
+    np.save(str(scans / "b.npy"), rng.rand(90, 3).astype(np.float32) + 50.0)
+    np.savetxt(str(scans / "c.txt"), rng.rand(128, 3).astype(np.float32) + 50.0)
+    outs = infer_files(cfg, str(scans), out_dir=str(tmp_path / "done"))
+    assert sorted(os.path.basename(o) for o in outs) == [
+        "a_completion.pcd", "b_completion.pcd", "c_completion.pcd",
+    ]
+    for o in outs:
+        comp = np.asarray(
+            __import__("svdformer_pointsea_tpu.data", fromlist=["IO"]).IO.get(o)
+        )
+        # Output size is the model's final-stage point count (tiny net:
+        # n_points * step1-upsampling collapses at this geometry).
+        assert comp.ndim == 2 and comp.shape[1] == 3 and comp.shape[0] >= 128
+        assert np.isfinite(comp).all()
+        # Mapped back to the scan's frame (centroid ~50, not the PCN origin).
+        assert np.abs(comp.mean(axis=0) - 50.0).max() < 5.0
+
+
+def test_cli_complete_requires_weights(tmp_path, rng):
+    from svdformer_pointsea_tpu import cli
+
+    with pytest.raises(SystemExit, match="--weights"):
+        cli.main_pcn(["--complete", str(tmp_path)])

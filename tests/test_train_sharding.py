@@ -24,9 +24,12 @@ def test_eight_cpu_devices_available():
 
 
 @pytest.mark.heavy
-def test_dryrun_multichip_entrypoint():
+def test_dryrun_multichip_entrypoint(monkeypatch):
     # Tiny geometry since round 3 (full model structure, batch 12->16 pad
     # rehearsal, fused render; three legs: GSPMD / 2-D sp / shard_map).
+    # The suite must exercise ALL legs: lift the driver budget guard that
+    # soft-skips the bonus legs on a slow box (__graft_entry__.py).
+    monkeypatch.setenv("GRAFT_DRYRUN_BUDGET_S", "1000000")
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
