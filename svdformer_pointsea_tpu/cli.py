@@ -132,6 +132,14 @@ def _dispatch(cfg: Config, args, mode=None) -> None:
             raise SystemExit(
                 "--complete needs a trained checkpoint (--weights)!"
             )
+        if int(getattr(cfg.train, "sp", 1)) > 1:
+            # Same policy as the eval path below: never let a user believe
+            # an inapplicable flag took effect. --precision IS honored
+            # (infer_files calls set_mixed_precision like test_net).
+            raise SystemExit(
+                "--sp applies to training only; --complete runs single-"
+                "program inference."
+            )
         from svdformer_pointsea_tpu.train.infer import infer_files
 
         outs = infer_files(

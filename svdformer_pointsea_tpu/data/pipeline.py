@@ -63,8 +63,19 @@ class Loader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.seed = seed
-        self.rng = np.random.RandomState(seed)
-        self._epoch = 0  # bumped per __iter__; feeds per-sample rng seeds
+        self._epoch = 0  # bumped per __iter__; feeds shuffle + per-sample rng
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch number used by the NEXT ``__iter__``.
+
+        All data randomness (shuffle order and per-sample augmentation
+        seeds) derives statelessly from ``(seed, epoch, index)``, so a run
+        resumed at epoch k replays exactly the batches the straight run saw
+        at epoch k — the property the resume state-exactness test asserts
+        (tests/test_orchestration.py). Without set_epoch, epochs number
+        1, 2, ... per iteration as before.
+        """
+        self._epoch = int(epoch) - 1
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -72,11 +83,15 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batches_indices(self) -> List[np.ndarray]:
+    def _batches_indices(self, epoch: int) -> List[np.ndarray]:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            self.rng.shuffle(order)
+            # Stateless per-(seed, epoch) order: a stateful RandomState
+            # advanced once per __iter__ would make the order depend on how
+            # many epochs THIS process has run — broken under resume.
+            ss = np.random.SeedSequence([self.seed, epoch])
+            np.random.RandomState(ss.generate_state(1)[0]).shuffle(order)
         out = []
         for i in range(0, n, self.batch_size):
             chunk = order[i : i + self.batch_size]
@@ -86,7 +101,9 @@ class Loader:
         return out
 
     def __iter__(self) -> Iterator[Batch]:
-        batches = self._batches_indices()
+        self._epoch += 1
+        epoch = self._epoch
+        batches = self._batches_indices(epoch)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         # Deterministic threaded augmentation: a dataset advertising
@@ -96,8 +113,6 @@ class Loader:
         # non-reproducible (the reference's process workers are seeded
         # deterministically instead). Epoch is in the seed so augmentation
         # still varies across epochs.
-        self._epoch += 1
-        epoch = self._epoch
         if getattr(self.dataset, "per_sample_rng", False):
 
             def fetch(i):

@@ -34,10 +34,10 @@ _SQRT_EPS = 1e-12
 def _batch_mean(d: Array, weights: Array | None, axis_name: str | None = None) -> Array:
     """Mean over (B, N) distances; with ``weights`` (B,), a weighted mean of
     per-sample means — pad rows (weight 0) contribute nothing to the LOSS,
-    real rows get the unpadded batch-mean semantics. Caveat: train-mode
-    BatchNorm moments upstream are still computed over the padded batch
-    (repeated rows double-weighted), so activations are not bit-identical
-    to an unpadded step — see parallel/mesh.py::pad_batch.
+    real rows get the unpadded batch-mean semantics. The same weights are
+    scoped into BatchNorm by the trainers (``bn_row_weights``,
+    train/state.py:142-148), so pad rows are excluded from the BN batch
+    moments too — see parallel/mesh.py::pad_batch.
 
     ``axis_name``: inside ``shard_map`` over a device mesh, psum the
     numerator and denominator over that axis so the result is the GLOBAL

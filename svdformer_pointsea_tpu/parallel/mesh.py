@@ -88,12 +88,14 @@ def pad_batch(batch: Any, mesh: Mesh) -> tuple[Any, np.ndarray]:
     alternative to DataParallel's uneven scatter). On a 2-D (data, sp) mesh
     the batch only shards over the data axis, so pad to that size.
 
-    Known delta when batch % devices != 0: train-mode BatchNorm computes
-    batch moments over the PADDED batch, double-weighting the repeated rows
-    in the BN statistics (and through them perturbing every row's
-    activations/gradients slightly). The reference has its own BN
-    inconsistency here instead — DataParallel keeps per-replica stats over
-    uneven shards. Documented in docs/PARITY.md."""
+    BatchNorm note: the trainers also pass ``weights`` into a
+    ``bn_row_weights`` scope (train/state.py, train/gan.py), so train-mode
+    BatchNorm computes WEIGHTED batch moments — pad rows are excluded from
+    the BN statistics exactly, and a padded step updates running stats like
+    the unpadded batch would (tests/test_train_sharding.py::
+    test_padded_bn_moments_exact). The reference has a BN inconsistency
+    here instead — DataParallel keeps per-replica stats over uneven shards.
+    Documented in docs/PARITY.md."""
     n = dict(mesh.shape).get(DATA_AXIS, mesh.devices.size)
     leaves = jax.tree_util.tree_leaves(batch)
     b = leaves[0].shape[0]

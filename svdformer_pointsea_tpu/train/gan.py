@@ -466,6 +466,9 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
     progress = bool(getattr(tcfg, "progress", False))
 
     for epoch in range(start_epoch, n_epochs + 1):
+        # Resume-exact data order: shuffle + per-sample augmentation derive
+        # from (seed, epoch), same contract as train_net (train/loop.py).
+        train_loader.set_epoch(epoch)
         t0 = time.time()
         losses = AverageMeter(["g_loss", "d_loss"])
         pending = []  # defer device->host syncs to once per epoch
@@ -512,6 +515,9 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
             epoch, n_epochs, time.time() - t0, losses.avg(0), losses.avg(1),
         )
         variables = {"params": state.g_params, "batch_stats": state.g_batch_stats}
+        # True-epoch val seeding — same resume-determinism contract as
+        # train_net (see train/loop.py epoch tail).
+        val_loader.set_epoch(epoch)
         val_cd = eval_pcn(cfg, g_model, variables, val_loader, logger, epoch)
         ckpts.maybe_save(state, epoch, val_cd)
         if max_steps is not None and global_step >= max_steps:

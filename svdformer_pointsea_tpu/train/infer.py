@@ -13,11 +13,11 @@ TPU-shaped by construction:
 - ONE fixed-shape XLA program: every batch is padded (cyclic repeat) to a
   fixed batch size, so the depth render + forward compile once and every
   dispatch reuses the executable — no per-file recompiles.
-- Inputs are resampled to the model's partial size with the reference's
-  RandomSamplePoints semantics (utils/data_transforms.py:162-175: sample
-  without replacement when enough points, top up with replacement
-  otherwise) — arbitrary-size scans become the static shape the MXU path
-  expects.
+- Inputs are resampled to the model's partial size in the spirit of the
+  reference's UpSamplePoints (utils/data_transforms.py:153-172 — the
+  transform the PCN pipeline actually applies: keep every real point, top
+  up by duplication when short; permute-truncate when long) — arbitrary-
+  size scans become the static shape the MXU path expects.
 - Scans are optionally normalized into the PCN frame the published models
   were trained in (centroid at origin, max radius 0.5) and the completion
   is mapped BACK to the scan's original frame, so outputs overlay the
@@ -40,6 +40,30 @@ from svdformer_pointsea_tpu.render import make_renderer
 SUPPORTED_EXTS = (".pcd", ".npy", ".h5", ".txt")
 
 
+def _load_xyz(path: str) -> np.ndarray:
+    """Load a scan and return its xyz columns, validating the layout.
+
+    Real-scan exports are frequently (N, C>3) — xyz+rgb/normals (N,6) or
+    xyz+intensity (N,4). A blind ``reshape(-1, 3)`` would silently
+    reinterpret those as interleaved garbage points, so: require a 2-D
+    array with >=3 columns, keep the first three, and fail loudly on
+    anything else.
+    """
+    pts = np.asarray(IO.get(path), dtype=np.float32)
+    if pts.ndim == 1 and pts.size % 3 == 0:
+        # Flat xyz stream (e.g. a .npy saved from a flattened buffer) is
+        # unambiguous — columns can't be misaligned when there are only 3.
+        pts = pts.reshape(-1, 3)
+    if pts.ndim != 2 or pts.shape[1] < 3:
+        raise ValueError(
+            f"{path}: expected an (N, >=3) point array (xyz in the first "
+            f"three columns), got shape {pts.shape}"
+        )
+    if pts.shape[0] == 0:
+        raise ValueError(f"{path}: empty point cloud")
+    return np.ascontiguousarray(pts[:, :3])
+
+
 def _collect_inputs(path: str) -> List[str]:
     """A single supported file, or every supported file under a directory."""
     if os.path.isdir(path):
@@ -47,7 +71,7 @@ def _collect_inputs(path: str) -> List[str]:
             os.path.join(path, f)
             for f in os.listdir(path)
             if f.lower().endswith(SUPPORTED_EXTS)
-            and not f.endswith("_completion.pcd")
+            and not f.lower().endswith("_completion.pcd")
         )
         if not files:
             raise FileNotFoundError(
@@ -64,9 +88,11 @@ def _collect_inputs(path: str) -> List[str]:
 
 
 def _resample(pts: np.ndarray, n: int, rng: np.random.RandomState) -> np.ndarray:
-    """Reference RandomSamplePoints semantics (utils/data_transforms.py:
-    162-175): without replacement when the scan has enough points, keep all
-    rows and top up with replacement otherwise."""
+    """UpSamplePoints-style resampling (utils/data_transforms.py:153-172,
+    the transform the reference PCN pipeline uses): sample without
+    replacement when the scan has enough points; keep ALL rows and top up
+    with replacement otherwise (never pads with zeros the way
+    RandomSamplePoints at :175-186 does)."""
     m = pts.shape[0]
     if m >= n:
         idx = rng.choice(m, n, replace=False)
@@ -99,6 +125,7 @@ def infer_files(
     maps each scan into the PCN frame for the model and maps the completion
     back afterwards.
     """
+    from svdformer_pointsea_tpu.nn import set_mixed_precision
     from svdformer_pointsea_tpu.train.loop import (
         build_model,
         init_state,
@@ -106,6 +133,9 @@ def infer_files(
     )
     from svdformer_pointsea_tpu.train.state import make_optimizer
 
+    # Honor --precision like test_net does (must precede the first trace);
+    # otherwise the flag would be silently ignored on this surface.
+    set_mixed_precision(getattr(cfg.train, "precision", "f32") == "bf16")
     files = _collect_inputs(path)
     model = build_model(cfg)
     state = init_state(
@@ -138,7 +168,7 @@ def infer_files(
         frames: List[Tuple[np.ndarray, float]] = []
         rows = []
         for f in chunk:
-            pts = np.asarray(IO.get(f), dtype=np.float32).reshape(-1, 3)
+            pts = _load_xyz(f)
             if normalize:
                 pts, centroid, scale = _to_pcn_frame(pts)
             else:

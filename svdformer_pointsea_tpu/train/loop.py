@@ -195,7 +195,6 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
         start_epoch = saved_epoch + 1
         logging.info("Resumed from %s at epoch %d", cfg.weights, saved_epoch)
 
-    crop_rng = np.random.RandomState(cfg.seed)
     n_epochs = min(tcfg.n_epochs, max_epochs or tcfg.n_epochs)
     global_step = int(state.step)
     logger = SummaryLogger(os.path.join(cfg.out_path, "logs"))
@@ -217,6 +216,14 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
     progress = bool(getattr(tcfg, "progress", False))
 
     for epoch in range(start_epoch, n_epochs + 1):
+        # Resume-exact data determinism: shuffle order, per-sample
+        # augmentation, and (55) crop draws all derive from (seed, epoch),
+        # never from how many epochs THIS process has run — a resumed run
+        # replays the straight run's batches exactly.
+        train_loader.set_epoch(epoch)
+        crop_rng = np.random.RandomState(
+            np.random.SeedSequence([cfg.seed, epoch, 55]).generate_state(1)[0]
+        )
         epoch_t0 = time.time()
         losses = AverageMeter(["cdc", "cd1", "cd2"])
         data_time = AverageMeter()
@@ -309,6 +316,12 @@ def train_net(cfg: Config, max_epochs: Optional[int] = None, max_steps: Optional
         )
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # Key the val loader by the true epoch as well: its per-sample
+        # transform draws (e.g. UpSamplePoints) would otherwise be seeded by
+        # this process's iteration count, making the val metric — and thus
+        # best-checkpoint selection — differ between a straight and a
+        # resumed run (caught by test_resume_state_exactness).
+        val_loader.set_epoch(epoch)
         if is_55:
             val_cd = eval_55(cfg, model, variables, val_loader, logger, epoch)
         else:

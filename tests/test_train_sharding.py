@@ -24,7 +24,7 @@ def test_eight_cpu_devices_available():
 
 
 @pytest.mark.heavy
-def test_dryrun_multichip_entrypoint(monkeypatch):
+def test_dryrun_multichip_entrypoint(monkeypatch, capsys):
     # Tiny geometry since round 3 (full model structure, batch 12->16 pad
     # rehearsal, fused render; three legs: GSPMD / 2-D sp / shard_map).
     # The suite must exercise ALL legs: lift the driver budget guard that
@@ -33,6 +33,10 @@ def test_dryrun_multichip_entrypoint(monkeypatch):
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+    # Machine-readable coverage line (VERDICT r3 #6): with the budget guard
+    # lifted, all three legs must report, and the summary must say so.
+    out = capsys.readouterr().out
+    assert "legs 3/3 ok" in out
 
 
 def test_lr_schedule_reference_semantics():
