@@ -144,6 +144,38 @@ def _bench_train_step() -> dict:
         return {"train_bench_error": f"{type(e).__name__}: {e}"}
 
 
+def _bench_tracks() -> dict:
+    """Per-track train-step wall clock for the NON-PCN surfaces (VERDICT r3
+    next #3): ShapeNet-55 (fused crop+render, B16 gt8192), GeoSpec GAN
+    (D-then-G, B12) and PointSea (realistic voxel renderer, B12), reusing
+    tools/time_track_steps.py's chained recipe at a tiny iteration count.
+    Compiles are served by the persistent cache after the first round.
+    Returns {} shaped as {"tracks": {name: {ms_per_step, samples_per_sec,
+    batch}}} with per-track error strings on failure — never sinks the
+    headline metric."""
+    import contextlib
+    import sys
+
+    from tools.time_track_steps import time_55, time_geospec, time_pointsea
+
+    tracks = {}
+    for name, fn in (("55", time_55), ("geospec", time_geospec),
+                     ("pointsea", time_pointsea)):
+        try:
+            # The timers print progress to stdout; keep bench's single-
+            # JSON-line stdout contract by routing them to stderr.
+            with contextlib.redirect_stdout(sys.stderr):
+                dt, B = fn(n_iter=8)
+            tracks[name] = {
+                "ms_per_step": round(dt * 1e3, 1),
+                "samples_per_sec": round(B / dt, 2),
+                "batch": B,
+            }
+        except Exception as e:
+            tracks[name] = {"error": f"{type(e).__name__}: {e}"}
+    return {"tracks": tracks}
+
+
 def main() -> None:
     from svdformer_pointsea_tpu.nn import SVDFormer
     from svdformer_pointsea_tpu.render.pcviews import PCViews, _pcviews_render
@@ -261,6 +293,7 @@ def main() -> None:
         pass  # optional reading; never sinks the headline
 
     record.update(_bench_train_step())
+    record.update(_bench_tracks())
     print(json.dumps(record))
 
 

@@ -62,6 +62,66 @@ def test_emd_near_optimal_vs_scipy(rng):
     assert cost <= optimal + n * 0.001 * 3  # eps-suboptimality bound
 
 
+@pytest.mark.heavy
+def test_emd_reference_granularity_1024(rng):
+    """n=1024 — the reference CUDA kernel's granularity unit (hard
+    constraint n % 1024 == 0, B <= 512 at emd_cuda.cu:236-249; ours has no
+    such constraint) — at both documented operating points
+    (metrics/EMD/README.md:7), VERDICT r3 next #4's CPU-sized leg.
+
+    Train point (eps=0.005, iters=50): the budget is too small to settle
+    every contested point at this scale — partial assignment must be
+    accounted honestly (assigned rows re-gather exactly, unassigned rows
+    are the zero-dist ones, no object owned twice).
+
+    Eval point (eps=0.002, iters=10000): full bijection, and total
+    *euclidean* cost within the auction's eps-suboptimality bound
+    (n * eps) of scipy's exact optimum — the auction optimizes
+    value = 3 - ||d|| - price, so the theory bound lives in sqrt space.
+    """
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    from svdformer_pointsea_tpu.ops import emd_unassigned
+
+    n = 1024
+    x = rng.rand(2, n, 3).astype(np.float32)
+    y = rng.rand(2, n, 3).astype(np.float32)
+
+    dist, a = earth_mover_distance(
+        jnp.asarray(x), jnp.asarray(y), eps=0.005, iters=50
+    )
+    a_np, d_np = np.asarray(a), np.asarray(dist)
+    assigned = a_np >= 0
+    matched = np.take_along_axis(y, np.maximum(a_np, 0)[..., None], axis=1)
+    np.testing.assert_allclose(
+        d_np[assigned],
+        np.sum((x - matched) ** 2, -1)[assigned],
+        atol=1e-6,
+    )
+    assert (d_np[~assigned] == 0).all()
+    for b in range(2):  # an object has at most one owner mid-auction
+        owned = a_np[b][assigned[b]]
+        assert len(np.unique(owned)) == len(owned)
+    np.testing.assert_array_equal(
+        np.asarray(emd_unassigned(a)), (~assigned).sum(axis=1)
+    )
+
+    dist2, a2 = earth_mover_distance(
+        jnp.asarray(x), jnp.asarray(y), eps=0.002, iters=10000
+    )
+    a2_np = np.asarray(a2)
+    assert int(np.asarray(emd_unassigned(a2)).max()) == 0
+    for b in range(2):
+        assert len(np.unique(a2_np[b])) == n  # exact bijection
+        d = np.sqrt(
+            ((x[b, :, None, :] - y[b, None, :, :]) ** 2).sum(-1)
+        )
+        r, c = scipy_opt.linear_sum_assignment(d)
+        optimal = float(d[r, c].sum())
+        got = float(np.sqrt(np.maximum(np.asarray(dist2)[b], 0.0)).sum())
+        assert got >= optimal - 1e-4
+        assert got <= optimal + n * 0.002, (got, optimal)
+
+
 def test_emd_unassigned_accounting(rng):
     """Converged auctions report zero unmatched points; a starved iteration
     budget reports them instead of silently zeroing dist (ops/emd.py)."""

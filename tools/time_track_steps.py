@@ -45,6 +45,7 @@ from svdformer_pointsea_tpu.train.state import make_optimizer, make_train_step
 
 
 def _time(label, step, state, args, n_iter=20):
+    """Chained steady-state seconds/step (state threads the chain)."""
     t0 = time.perf_counter()
     state, metrics = step(state, *args)
     jax.block_until_ready(metrics)
@@ -59,7 +60,7 @@ def _time(label, step, state, args, n_iter=20):
     return dt
 
 
-def time_55() -> None:
+def time_55(n_iter: int = 20) -> tuple:
     cfg = shapenet55_config()
     B, n = cfg.train.batch_size, cfg.data.gt_points  # 16, 8192
     model = build_model(cfg)
@@ -79,12 +80,14 @@ def time_55() -> None:
     num_crop = jnp.full((B,), n // 2, jnp.int32)
     w = jnp.ones((B,), jnp.float32)
     gt, direction, num_crop, w = shard_batch((gt, direction, num_crop, w), mesh)
-    dt = _time("55", step, state, (gt, direction, num_crop, w, jnp.float32(1e-4)))
+    dt = _time("55", step, state, (gt, direction, num_crop, w, jnp.float32(1e-4)),
+               n_iter=n_iter)
     print(f"55 (B{B}, crop+render fused, gt {n}): {dt*1e3:.1f} ms/step "
           f"({B/dt:.1f} samples/s)", flush=True)
+    return dt, B
 
 
-def time_geospec() -> None:
+def time_geospec(n_iter: int = 20) -> tuple:
     from svdformer_pointsea_tpu.train.gan import create_gan_state, make_gan_train_step
 
     cfg = geospec_config()
@@ -107,12 +110,14 @@ def time_geospec() -> None:
         return step(state, *args)
 
     dt = _time("geospec", stepper, state,
-               (partial, gt, w, jnp.float32(1e-4), jnp.float32(1e-4)))
+               (partial, gt, w, jnp.float32(1e-4), jnp.float32(1e-4)),
+               n_iter=n_iter)
     print(f"geospec GAN (B{B}, D+G, render fused): {dt*1e3:.1f} ms/step "
           f"({B/dt:.1f} samples/s)", flush=True)
+    return dt, B
 
 
-def time_pointsea() -> None:
+def time_pointsea(n_iter: int = 20) -> tuple:
     cfg = pointsea_config()
     B = cfg.train.batch_size  # 12
     model = build_model(cfg)
@@ -129,9 +134,11 @@ def time_pointsea() -> None:
     gt = jnp.asarray(rng.rand(B, cfg.data.gt_points, 3).astype(np.float32) * 0.5)
     w = jnp.ones((B,), jnp.float32)
     partial, gt, w = shard_batch((partial, gt, w), mesh)
-    dt = _time("pointsea", step, state, (partial, gt, w, jnp.float32(1e-4)))
+    dt = _time("pointsea", step, state, (partial, gt, w, jnp.float32(1e-4)),
+               n_iter=n_iter)
     print(f"pointsea (B{B}, realistic render fused): {dt*1e3:.1f} ms/step "
           f"({B/dt:.1f} samples/s)", flush=True)
+    return dt, B
 
 
 if __name__ == "__main__":
