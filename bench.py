@@ -139,6 +139,34 @@ def _bench_train_step() -> dict:
         }
         if flops:
             out["train_mfu"] = round(flops / dt / _chip_peak_flops(), 4)
+
+        # The promoted bf16 mixed-precision step (recommended training mode
+        # since round 4 — docs/STATUS.md ablation; default stays f32, which
+        # remains the headline train_ms_per_step above).
+        try:
+            from svdformer_pointsea_tpu.nn import set_mixed_precision
+
+            set_mixed_precision(True)
+            try:
+                step16 = make_train_step(
+                    model, optimizer, sqrt_loss=cfg.train.sqrt_loss,
+                    render_fn=render.render,
+                )
+                state, metrics = step16(state, *args, jnp.float32(1e-4))
+                jax.block_until_ready(metrics)
+                pend = []
+                t0 = time.perf_counter()
+                for _ in range(n_iter):
+                    state, metrics = step16(state, *args, jnp.float32(1e-4))
+                    pend.append(metrics)
+                jax.block_until_ready((state, pend))
+                dt16 = (time.perf_counter() - t0) / n_iter
+                out["train_bf16_ms_per_step"] = round(dt16 * 1e3, 1)
+                out["train_bf16_samples_per_sec"] = round(B / dt16, 2)
+            finally:
+                set_mixed_precision(False)
+        except Exception:
+            pass  # optional reading; never sinks the f32 train keys
         return out
     except Exception as e:  # never sink the inference metric
         return {"train_bench_error": f"{type(e).__name__}: {e}"}
