@@ -21,6 +21,7 @@ from svdformer_pointsea_tpu.nn.layers import (
     set_flash_attention,
     PointNetSAModuleKNN,
     PointNetSAModule,
+    PointNetSAModuleMSG,
     PointNetFPModule,
     PointNetFeatureExtractor,
 )
@@ -50,6 +51,7 @@ __all__ = [
     "SinusoidalPositionalEmbedding",
     "PointNetSAModuleKNN",
     "PointNetSAModule",
+    "PointNetSAModuleMSG",
     "PointNetFPModule",
     "PointNetFeatureExtractor",
     "set_trunk_bf16",

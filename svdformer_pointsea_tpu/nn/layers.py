@@ -34,7 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from svdformer_pointsea_tpu.ops import (
+    ball_query,
+    furthest_point_sample,
+    gather_points,
     group_local,
+    grouping_operation,
     sample_and_group_all,
     sample_and_group_ball,
     sample_and_group_knn,
@@ -651,6 +655,68 @@ class PointNetSAModule(linen.Module):
         )(new_points, train=train)
         new_points = jnp.max(new_points, axis=2)
         return new_xyz, new_points
+
+
+class PointNetSAModuleMSG(linen.Module):
+    """Multi-scale-grouping set abstraction (pointnet2_ops_lib/pointnet2_ops/
+    pointnet2_modules.py:77-115 — dead code in the reference, imported only
+    by its own package __init__; implemented for capability parity).
+
+    FPS picks the centres ONCE; each scale ball-queries its own
+    (radius, nsample) neighbourhood around the shared centres, runs its own
+    MLP (ReLU+BN after every layer — build_shared_mlp semantics,
+    pointnet2_modules.py:10-19), max-pools over the neighbourhood, and the
+    per-scale descriptors concatenate along channels. With ``use_xyz`` the
+    centred neighbour offsets prefix each scale's features
+    (pointnet2_modules.py:110-112 mutates mlp_spec[0] += 3; here the Dense
+    layers infer their input width, so no spec surgery is needed).
+
+    Channels-last throughout: xyz (B, N, 3), points (B, N, C) ->
+    new_xyz (B, npoint, 3), new_points (B, npoint, sum(mlp[-1] per scale)).
+    """
+
+    npoint: Optional[int]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    if_bn: bool = True
+    use_xyz: bool = True
+
+    @linen.compact
+    def __call__(self, xyz: Array, points: Optional[Array], train: bool = False):
+        assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+        if self.npoint is None:
+            # GroupAll degenerate case (pointnet2_modules.py:106-108): one
+            # centre, every scale sees the whole cloud.
+            new_xyz = None
+            scale_inputs = [
+                sample_and_group_all(xyz, points, self.use_xyz)[1]
+                for _ in self.radii
+            ]
+        else:
+            fps_idx = furthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_points(xyz, fps_idx)
+            scale_inputs = []
+            for radius, nsample in zip(self.radii, self.nsamples):
+                idx = ball_query(radius, nsample, xyz, new_xyz)
+                grouped_xyz = grouping_operation(xyz, idx) - new_xyz[:, :, None, :]
+                if points is not None:
+                    grouped = grouping_operation(points, idx)
+                    grouped = (
+                        jnp.concatenate([grouped_xyz, grouped], axis=-1)
+                        if self.use_xyz
+                        else grouped
+                    )
+                else:
+                    grouped = grouped_xyz
+                scale_inputs.append(grouped)
+        outs = []
+        for i, (grouped, mlp) in enumerate(zip(scale_inputs, self.mlps)):
+            feats = SharedMLP(
+                mlp, if_bn=self.if_bn, last_act=True, name=f"mlp{i}"
+            )(grouped, train=train)
+            outs.append(jnp.max(feats, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1)
 
 
 class PointNetFeatureExtractor(linen.Module):

@@ -17,6 +17,7 @@ torch = pytest.importorskip("torch")
 
 from torch_oracle import (
     load_reference_models,
+    load_reference_pointnet2_modules,
     make_partial,
     pcn_cfg,
     reference_available,
@@ -614,3 +615,90 @@ def test_pointsea_gradient_matches_reference(rng, reference):
 
     walk(ref_gp, grads, ())
     assert checked[0] > 100
+
+
+@pytest.mark.parametrize("group_all", [False, True])
+def test_pointnet_sa_module_msg_matches_reference(rng, group_all):
+    """PointnetSAModuleMSG (pointnet2_ops_lib/pointnet2_ops/
+    pointnet2_modules.py:77-115 — dead code in the reference, imported only
+    by its package __init__): the genuine torch wrapper running on the CPU
+    oracle stubs vs our channels-last flax PointNetSAModuleMSG,
+    weight-for-weight, eval mode. Two ball-query scales sharing one FPS
+    (or the GroupAll degenerate case)."""
+    import jax
+
+    from svdformer_pointsea_tpu.nn import PointNetSAModuleMSG
+
+    ref_mod = load_reference_pointnet2_modules()
+    torch.manual_seed(5)
+    C = 6
+    # NOTE: the torch ctor MUTATES mlps[k][0] += 3 when use_xyz
+    # (pointnet2_modules.py:110-112) — pass fresh lists.
+    if group_all:
+        npoint, radii, nsamples = None, [None], [None]
+        mlps = [[C, 16, 24]]
+    else:
+        npoint, radii, nsamples = 24, [0.25, 0.5], [8, 16]
+        mlps = [[C, 16, 24], [C, 12, 20]]
+    ref = ref_mod.PointnetSAModuleMSG(
+        npoint=npoint, radii=radii, nsamples=nsamples,
+        mlps=[list(m) for m in mlps], bn=True, use_xyz=True,
+    )
+    ref.eval()
+
+    xyz = make_partial(rng, 2, 64)  # (B, N, 3)
+    feats = rng.rand(2, C, 64).astype(np.float32)  # ref wants (B, C, N)
+    with torch.no_grad():
+        ref_xyz, ref_feats = ref(
+            torch.from_numpy(xyz.copy()), torch.from_numpy(feats.copy())
+        )
+
+    # Convert: per scale, Sequential([Conv2d(1x1, no bias), BN2d, ReLU] * L)
+    sd = state_dict_numpy(ref)
+    params, batch_stats = {}, {}
+    for i, mlp in enumerate(mlps):
+        layers, bns, stats = {}, {}, {}
+        for j in range(len(mlp) - 1):
+            w = sd[f"mlps.{i}.{3 * j}.weight"]  # (out, in, 1, 1)
+            layers[f"layer{j}"] = {
+                "kernel": w[:, :, 0, 0].T,
+                "bias": np.zeros(w.shape[0], np.float32),  # conv bias=False
+            }
+            bns[f"bn{j}"] = {
+                "scale": sd[f"mlps.{i}.{3 * j + 1}.weight"],
+                "bias": sd[f"mlps.{i}.{3 * j + 1}.bias"],
+            }
+            stats[f"bn{j}"] = {
+                "mean": sd[f"mlps.{i}.{3 * j + 1}.running_mean"],
+                "var": sd[f"mlps.{i}.{3 * j + 1}.running_var"],
+            }
+        params[f"mlp{i}"] = {**layers, **bns}
+        batch_stats[f"mlp{i}"] = stats
+
+    ours = PointNetSAModuleMSG(
+        npoint=npoint,
+        radii=tuple(r for r in radii),
+        nsamples=tuple(n for n in nsamples),
+        mlps=tuple(tuple(m[1:]) for m in mlps),  # specs exclude the input width
+    )
+    new_xyz, new_feats = jax.jit(
+        lambda v, x, f: ours.apply(v, x, f, train=False)
+    )(
+        {"params": params, "batch_stats": batch_stats},
+        xyz,
+        np.transpose(feats, (0, 2, 1)),  # ours is channels-last
+    )
+    if group_all:
+        assert new_xyz is None and ref_xyz is None
+        assert ref_feats.shape == (2, 24, 1)
+    else:
+        np.testing.assert_allclose(
+            np.asarray(new_xyz), ref_xyz.numpy(), rtol=1e-5, atol=1e-6
+        )
+        assert ref_feats.shape == (2, 24 + 20, 24)
+    np.testing.assert_allclose(
+        np.asarray(new_feats),
+        np.transpose(ref_feats.numpy(), (0, 2, 1)),
+        rtol=1e-4,
+        atol=1e-5,
+    )

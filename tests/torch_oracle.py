@@ -99,6 +99,44 @@ def _install_stubs(torch):
         g = torch.gather(points, 2, flat).reshape(B, C, n, 3)
         return (g * weight[:, None]).sum(-1)
 
+    class QueryAndGroup(torch.nn.Module):
+        """pointnet2_utils.py:279-333: ball-query + centred grouping,
+        xyz offsets prefixed when use_xyz."""
+
+        def __init__(self, radius, nsample, use_xyz=True):
+            super().__init__()
+            self.radius, self.nsample, self.use_xyz = radius, nsample, use_xyz
+
+        def forward(self, xyz, new_xyz, features=None):
+            idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+            grouped_xyz = grouping_operation(
+                xyz.transpose(1, 2).contiguous(), idx
+            )  # (B, 3, npoint, nsample)
+            grouped_xyz = grouped_xyz - new_xyz.transpose(1, 2).unsqueeze(-1)
+            if features is not None:
+                grouped = grouping_operation(features, idx)
+                if self.use_xyz:
+                    return torch.cat([grouped_xyz, grouped], dim=1)
+                return grouped
+            assert self.use_xyz
+            return grouped_xyz
+
+    class GroupAll(torch.nn.Module):
+        """pointnet2_utils.py:336-380: the whole cloud as one group."""
+
+        def __init__(self, use_xyz=True):
+            super().__init__()
+            self.use_xyz = use_xyz
+
+        def forward(self, xyz, new_xyz, features=None):
+            grouped_xyz = xyz.transpose(1, 2).unsqueeze(2)  # (B, 3, 1, N)
+            if features is not None:
+                grouped = features.unsqueeze(2)
+                if self.use_xyz:
+                    return torch.cat([grouped_xyz, grouped], dim=1)
+                return grouped
+            return grouped_xyz
+
     pn2 = types.ModuleType("pointnet2_ops")
     pnu = types.ModuleType("pointnet2_ops.pointnet2_utils")
     for fn in (
@@ -110,6 +148,8 @@ def _install_stubs(torch):
         three_interpolate,
     ):
         setattr(pnu, fn.__name__, fn)
+    pnu.QueryAndGroup = QueryAndGroup
+    pnu.GroupAll = GroupAll
     pn2.pointnet2_utils = pnu
     sys.modules["pointnet2_ops"] = pn2
     sys.modules["pointnet2_ops.pointnet2_utils"] = pnu
@@ -223,6 +263,27 @@ def load_reference_models():
     import models.model_utils as ref_model_utils
 
     return ref_svdformer, ref_model_utils
+
+
+def load_reference_pointnet2_modules():
+    """Import the genuine pointnet2_ops/pointnet2_modules.py (the torch
+    SA/MSG/FP convenience wrappers — dead code in the reference) with the
+    CPU stubs standing in for the CUDA pointnet2_utils."""
+    import importlib.util
+
+    import torch
+
+    _install_stubs(torch)
+    path = os.path.join(
+        REFERENCE_ROOT, "pointnet2_ops_lib", "pointnet2_ops",
+        "pointnet2_modules.py",
+    )
+    spec = importlib.util.spec_from_file_location(
+        "pointnet2_ops.pointnet2_modules", path
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # `from pointnet2_ops import ...` -> stubs
+    return mod
 
 
 def pcn_cfg():
