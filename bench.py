@@ -184,7 +184,12 @@ def _bench_tracks() -> dict:
     import contextlib
     import sys
 
-    from tools.time_track_steps import time_55, time_geospec, time_pointsea
+    from tools.time_track_steps import (
+        time_55,
+        time_geospec,
+        time_pointsea,
+        time_track_eval,
+    )
 
     tracks = {}
     for name, fn in (("55", time_55), ("geospec", time_geospec),
@@ -201,7 +206,92 @@ def _bench_tracks() -> dict:
             }
         except Exception as e:
             tracks[name] = {"error": f"{type(e).__name__}: {e}"}
+        # Eval-side inference throughput per track (VERDICT r4 #6): every
+        # model family's inference surface regression-tracked, not just PCN.
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                dt, B = time_track_eval(name, n_iter=8)
+            tracks.setdefault(name, {}).update({
+                "eval_ms_per_batch": round(dt * 1e3, 1),
+                "eval_completions_per_sec": round(B / dt, 2),
+                "eval_batch": B,
+            })
+        except Exception as e:
+            tracks.setdefault(name, {})["eval_error"] = (
+                f"{type(e).__name__}: {e}"
+            )
     return {"tracks": tracks}
+
+
+def _bench_data_pipeline() -> dict:
+    """Sustained HOST input-pipeline throughput (VERDICT r4 #2): native pcd
+    parse + reference transforms (UpSamplePoints/RandomMirror) + fixed-shape
+    batching through the threaded-prefetch Loader, no device work. Builds a
+    small on-disk synthetic PCN dataset in a temp dir and measures
+    samples/sec over several epochs with a warm OS page cache (= epoch>1 of
+    a real run). Comparable key: ``data_pipeline_ms_per_step`` (per B12
+    batch) vs ``train_ms_per_step`` — the loader keeps up iff it is
+    comfortably smaller (ref accounting: core/train_pcn.py:88-102)."""
+    try:
+        import dataclasses
+        import json as _json
+        import os
+        import tempfile
+
+        from svdformer_pointsea_tpu.configs import pcn_config
+        from svdformer_pointsea_tpu.data import Loader, make_dataset, write_pcd
+
+        B, n_models, n_epochs = 12, 48, 5
+        rng = np.random.RandomState(0)
+        with tempfile.TemporaryDirectory() as td:
+            ids = [f"m{i}" for i in range(n_models)]
+            os.makedirs(f"{td}/datasets", exist_ok=True)
+            _json.dump(
+                [{"taxonomy_id": "02691156", "taxonomy_name": "plane",
+                  "train": ids, "val": ids[:1], "test": ids[:1]}],
+                open(f"{td}/datasets/ShapeNet.json", "w"),
+            )
+            for mid in ids:
+                cdir = f"{td}/dataset/PCN/train/complete/02691156"
+                os.makedirs(cdir, exist_ok=True)
+                write_pcd(f"{cdir}/{mid}.pcd",
+                          rng.rand(16384, 3).astype(np.float32) * 0.8 - 0.4)
+                pdir = f"{td}/dataset/PCN/train/partial/02691156/{mid}"
+                os.makedirs(pdir, exist_ok=True)
+                for i in range(8):
+                    write_pcd(f"{pdir}/{i:02d}.pcd",
+                              rng.rand(1500, 3).astype(np.float32) * 0.8 - 0.4)
+            cfg = pcn_config()
+            cfg = dataclasses.replace(
+                cfg,
+                data=dataclasses.replace(
+                    cfg.data,
+                    category_file=f"{td}/datasets/ShapeNet.json",
+                    partial_points_path=f"{td}/dataset/PCN/%s/partial/%s/%s/%02d.pcd",
+                    complete_points_path=f"{td}/dataset/PCN/%s/complete/%s/%s.pcd",
+                ),
+            )
+            ds = make_dataset(cfg, "train", seed=1)
+            loader = Loader(ds, B, shuffle=True, seed=1,
+                            num_workers=cfg.data.num_workers)
+            # Warm pass (page cache + thread spin-up), then timed epochs.
+            loader.set_epoch(1)
+            for _ in loader:
+                pass
+            n = 0
+            t0 = time.perf_counter()
+            for e in range(2, 2 + n_epochs):
+                loader.set_epoch(e)
+                for batch in loader:
+                    n += int(batch.data["partial_cloud"].shape[0])
+            dt = time.perf_counter() - t0
+        return {
+            "data_pipeline_samples_per_sec": round(n / dt, 1),
+            "data_pipeline_ms_per_step": round(dt / (n / B) * 1e3, 1),
+            "data_pipeline_batch": B,
+        }
+    except Exception as e:
+        return {"data_pipeline_error": f"{type(e).__name__}: {e}"}
 
 
 def main() -> None:
@@ -322,6 +412,7 @@ def main() -> None:
 
     record.update(_bench_train_step())
     record.update(_bench_tracks())
+    record.update(_bench_data_pipeline())
     print(json.dumps(record))
 
 

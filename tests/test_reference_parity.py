@@ -702,3 +702,98 @@ def test_pointnet_sa_module_msg_matches_reference(rng, group_all):
         rtol=1e-4,
         atol=1e-5,
     )
+
+
+def test_pointnet_sa_module_msg_train_mode_matches_reference(rng):
+    """TRAIN-mode MSG oracle (VERDICT r4 #7): the genuine
+    PointnetSAModuleMSG with BN in train mode — batch-moment normalized
+    outputs AND the running-stat updates after one step must match our
+    mutable batch_stats path (the repo's train-mode-oracle standard, as for
+    the full models above)."""
+    import jax
+
+    from svdformer_pointsea_tpu.nn import PointNetSAModuleMSG
+
+    ref_mod = load_reference_pointnet2_modules()
+    torch.manual_seed(7)
+    C = 6
+    npoint, radii, nsamples = 24, [0.25, 0.5], [8, 16]
+    mlps = [[C, 16, 24], [C, 12, 20]]
+    ref = ref_mod.PointnetSAModuleMSG(
+        npoint=npoint, radii=radii, nsamples=nsamples,
+        mlps=[list(m) for m in mlps], bn=True, use_xyz=True,
+    )
+    ref.train()
+
+    xyz = make_partial(rng, 2, 64)
+    feats = rng.rand(2, C, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_xyz, ref_feats = ref(
+            torch.from_numpy(xyz.copy()), torch.from_numpy(feats.copy())
+        )
+    sd = state_dict_numpy(ref)  # post-forward: carries updated running stats
+
+    # Converted params; batch_stats at INIT values (mean 0, var 1 — the
+    # torch module was freshly constructed, so its pre-forward stats were
+    # the init values too).
+    params, batch_stats = {}, {}
+    for i, mlp in enumerate(mlps):
+        layers, bns, stats = {}, {}, {}
+        for j in range(len(mlp) - 1):
+            w = sd[f"mlps.{i}.{3 * j}.weight"]
+            layers[f"layer{j}"] = {
+                "kernel": w[:, :, 0, 0].T,
+                "bias": np.zeros(w.shape[0], np.float32),
+            }
+            bns[f"bn{j}"] = {
+                "scale": sd[f"mlps.{i}.{3 * j + 1}.weight"],
+                "bias": sd[f"mlps.{i}.{3 * j + 1}.bias"],
+            }
+            width = w.shape[0]
+            stats[f"bn{j}"] = {
+                "mean": np.zeros(width, np.float32),
+                "var": np.ones(width, np.float32),
+            }
+        params[f"mlp{i}"] = {**layers, **bns}
+        batch_stats[f"mlp{i}"] = stats
+
+    ours = PointNetSAModuleMSG(
+        npoint=npoint,
+        radii=tuple(radii),
+        nsamples=tuple(nsamples),
+        mlps=tuple(tuple(m[1:]) for m in mlps),
+    )
+    (new_xyz, new_feats), mutated = jax.jit(
+        lambda v, x, f: ours.apply(
+            v, x, f, train=True, mutable=["batch_stats"]
+        )
+    )(
+        {"params": params, "batch_stats": batch_stats},
+        xyz,
+        np.transpose(feats, (0, 2, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_xyz), ref_xyz.numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_feats),
+        np.transpose(ref_feats.numpy(), (0, 2, 1)),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+    # Running-stat updates: torch momentum 0.1 EMA, unbiased batch var.
+    for i, mlp in enumerate(mlps):
+        for j in range(len(mlp) - 1):
+            got = mutated["batch_stats"][f"mlp{i}"][f"bn{j}"]
+            np.testing.assert_allclose(
+                np.asarray(got["mean"]),
+                sd[f"mlps.{i}.{3 * j + 1}.running_mean"],
+                rtol=1e-4, atol=1e-5,
+                err_msg=f"running_mean mlp{i}/bn{j}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(got["var"]),
+                sd[f"mlps.{i}.{3 * j + 1}.running_var"],
+                rtol=1e-4, atol=1e-5,
+                err_msg=f"running_var mlp{i}/bn{j}",
+            )

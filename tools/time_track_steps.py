@@ -141,7 +141,56 @@ def time_pointsea(n_iter: int = 20) -> tuple:
     return dt, B
 
 
+_EVAL_CFGS = {
+    "55": shapenet55_config,
+    "geospec": geospec_config,
+    "pointsea": pointsea_config,
+}
+
+
+def time_track_eval(name: str, n_iter: int = 8, bs: int = 16) -> tuple:
+    """Chained eval-path throughput (render + forward, train=False) for a
+    non-PCN track, completions/sec — the VERDICT r4 #6 regression surface
+    (ref eval loops: core/test_55.py:60-82, core/test_geospec.py:12,
+    models_PointSea/PointSea.py:250-285). In-jit chained like bench.py:
+    each iteration's input depends on the previous output scalar."""
+    cfg = _EVAL_CFGS[name]()
+    model = build_model(cfg)
+    render = make_renderer(cfg)
+    rng = np.random.RandomState(0)
+    partial = jnp.asarray(
+        rng.rand(bs, cfg.data.n_points, 3).astype(np.float32) * 0.5 - 0.25
+    )
+
+    @jax.jit
+    def pipeline(variables, partial, s):
+        p = partial + s * 1e-20
+        depth = render.render(p)
+        out = model.apply(variables, p, depth, train=False)[-1]
+        return out, jnp.sum(out[:, 0, 0])
+
+    init_depth = render.get_img(partial[:2])
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), partial[:2], init_depth
+    )
+    s = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    out, s = pipeline(variables, partial, s)
+    out.block_until_ready()
+    print(f"{name} eval: first call (compile) {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out, s = pipeline(variables, partial, s)
+    _ = float(s)
+    dt = (time.perf_counter() - t0) / n_iter
+    print(f"{name} eval (B{bs}): {dt * 1e3:.1f} ms/batch "
+          f"({bs / dt:.1f} completions/s)", flush=True)
+    return dt, bs
+
+
 if __name__ == "__main__":
     tracks = sys.argv[1:] or ["55", "geospec", "pointsea"]
     for t in tracks:
         {"55": time_55, "geospec": time_geospec, "pointsea": time_pointsea}[t]()
+        time_track_eval(t)
