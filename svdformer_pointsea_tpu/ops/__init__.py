@@ -33,7 +33,11 @@ from svdformer_pointsea_tpu.ops.grouping import (
     group_local,
 )
 from svdformer_pointsea_tpu.ops.metrics import fscore, density_aware_chamfer
-from svdformer_pointsea_tpu.ops.emd import earth_mover_distance, emd_unassigned
+from svdformer_pointsea_tpu.ops.emd import (
+    earth_mover_distance,
+    emd_convergence,
+    emd_unassigned,
+)
 
 __all__ = [
     "square_distance",
@@ -59,5 +63,6 @@ __all__ = [
     "fscore",
     "density_aware_chamfer",
     "earth_mover_distance",
+    "emd_convergence",
     "emd_unassigned",
 ]

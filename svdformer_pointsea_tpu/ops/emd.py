@@ -147,7 +147,8 @@ def earth_mover_distance(xyz1: Array, xyz2: Array, eps: float = 0.005, iters: in
             metrics/EMD/README.md:7) it should be 0.
         assignment: (B, n) int32 match index into xyz2 (-1 if unassigned).
     """
-    return _emd_forward(xyz1, xyz2, eps, iters)
+    dist, assignment, _ = _emd_forward(xyz1, xyz2, eps, iters)
+    return dist, assignment
 
 
 def emd_unassigned(assignment: Array) -> Array:
@@ -180,12 +181,28 @@ def _emd_forward(xyz1, xyz2, eps, iters):
         t, state = carry
         return t + 1, _auction_iteration(state, x1, x2, eps, chunk)
 
-    _, (assignment, _, _, _) = lax.while_loop(cond, body, (jnp.int32(0), init))
+    t, (assignment, _, _, _) = lax.while_loop(cond, body, (jnp.int32(0), init))
 
     matched = jnp.take_along_axis(x2, jnp.maximum(assignment, 0)[..., None], axis=1)
     dist = jnp.sum((x1 - matched) ** 2, axis=-1)
     dist = jnp.where(assignment >= 0, dist, 0.0)
-    return dist, assignment
+    return dist, assignment, t
+
+
+def emd_convergence(xyz1: Array, xyz2: Array, eps: float = 0.002,
+                    iters: int = 10000):
+    """Diagnostic EMD: ``(dist, assignment, iters_used)``.
+
+    ``iters_used`` is the auction iteration at which every point was
+    assigned (the while_loop's convergence-based early exit), or ``iters``
+    if the budget exhausted first. Non-differentiable — use
+    ``earth_mover_distance`` on any grad path. Exists to quantify
+    iters-to-convergence vs eps on structured pairs
+    (tools/emd_convergence_study.py): the documented eval operating point
+    (eps=0.002/iters=10000, metrics/EMD/README.md:7) costs ~50 s/call at
+    n=8192 only on RANDOM cloud pairs; see the study for practical
+    settings."""
+    return _emd_forward(xyz1, xyz2, eps, iters)
 
 
 def _pick_chunk(m: int, b: int, n: int) -> int:
@@ -198,7 +215,7 @@ def _pick_chunk(m: int, b: int, n: int) -> int:
 
 
 def _emd_fwd(xyz1, xyz2, eps, iters):
-    dist, assignment = _emd_forward(xyz1, xyz2, eps, iters)
+    dist, assignment, _ = _emd_forward(xyz1, xyz2, eps, iters)
     return (dist, assignment), (xyz1, xyz2, assignment)
 
 
