@@ -14,6 +14,16 @@ quality drift at this horizon and gets promoted to the documented
 recommended training mode; otherwise it stays opt-in with this table as
 the evidence.
 
+KNOWN WEAKNESS of this rule (ADVICE r4 #1): with only 3 seeds the floor
+is max over two 3-sample spreads, so higher bf16 instability WIDENS its
+own promotion gate — and the measured floor (32.6×10⁻³) was 33× the mean
+delta, i.e. this harness alone cannot resolve a small systematic drift.
+The promotion therefore additionally rests on the round-5 soak-horizon
+leg: a full 2,010-step bf16 run through the real data pipeline whose
+loss trajectory tracks the f32 leg throughout and whose best-val CD beats
+it (docs/STATUS.md round-5 "bf16 at soak horizon"). Re-run BOTH before
+re-deciding.
+
 Usage:
     PYTHONPATH=/root/repo:$PYTHONPATH python tools/bf16_ablation.py [steps] [seeds]
 """
