@@ -60,15 +60,30 @@ def reference_lr_schedule(
     return lr
 
 
-def make_optimizer(weight_decay: float = 0.0, betas=(0.9, 0.999)) -> optax.GradientTransformation:
-    """Adam (PCN) / AdamW (ShapeNet-55, wd=5e-4) with injectable LR."""
+def make_optimizer(
+    weight_decay: float = 0.0, betas=(0.9, 0.999), flatten: bool = False
+) -> optax.GradientTransformation:
+    """Adam (PCN) / AdamW (ShapeNet-55, wd=5e-4) with injectable LR.
+
+    ``flatten=True`` wraps the transform in ``optax.flatten`` (same Adam
+    math over one concatenated vector; params/updates stay structured,
+    only the optimizer STATE flattens). MEASURED NEGATIVE on chip
+    (tools/adam_flatten_probe.py, 404-leaf 58.1M-param SVDFormer):
+    standalone update 19.4 -> 24.9 ms, full B12 train step 205.1 ->
+    219.8 ms — the ravel/unravel concat copies cost more than the
+    per-leaf launch overhead they remove. Kept only so the probe stays
+    reproducible; do not enable expecting a win. opt_state tree shapes
+    differ between settings (checkpoints are not interchangeable).
+    """
     if weight_decay > 0:
-        return optax.inject_hyperparams(optax.adamw)(
+        opt = optax.inject_hyperparams(optax.adamw)(
             learning_rate=0.0, b1=betas[0], b2=betas[1], weight_decay=weight_decay
         )
-    return optax.inject_hyperparams(optax.adam)(
-        learning_rate=0.0, b1=betas[0], b2=betas[1]
-    )
+    else:
+        opt = optax.inject_hyperparams(optax.adam)(
+            learning_rate=0.0, b1=betas[0], b2=betas[1]
+        )
+    return optax.flatten(opt) if flatten else opt
 
 
 def create_train_state(
