@@ -139,3 +139,25 @@ def test_emd_unassigned_accounting(rng):
     # ...and exactly the unassigned rows carry the silent zeros.
     zeros = (np.asarray(dist0) == 0).sum(axis=1)
     assert (np.asarray(n_un) <= zeros).all()
+
+
+def test_emd_convergence_diagnostic(rng):
+    """emd_convergence (VERDICT r4 #9): same dist/assignment as the public
+    fn, plus iters-to-convergence — structure-dependent (a permutation
+    pair settles in ~2 iterations, a random pair takes many more)."""
+    from svdformer_pointsea_tpu.ops import emd_convergence
+
+    x1 = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    x2 = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    d1, a1 = earth_mover_distance(x1, x2, eps=0.005, iters=500)
+    d2, a2, t_rand = emd_convergence(x1, x2, eps=0.005, iters=500)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert 0 < int(t_rand) <= 500
+
+    perm = np.stack([np.random.RandomState(3).permutation(64) for _ in range(2)])
+    xp = jnp.take_along_axis(x1, jnp.asarray(perm)[..., None], axis=1)
+    _, ap, t_perm = emd_convergence(x1, xp, eps=0.005, iters=500)
+    assert int(t_perm) < int(t_rand)
+    from svdformer_pointsea_tpu.ops import emd_unassigned
+    assert int(emd_unassigned(ap).max()) == 0
