@@ -196,12 +196,19 @@ def emd_convergence(xyz1: Array, xyz2: Array, eps: float = 0.002,
     ``iters_used`` is the auction iteration at which every point was
     assigned (the while_loop's convergence-based early exit), or ``iters``
     if the budget exhausted first. Non-differentiable — use
-    ``earth_mover_distance`` on any grad path. Exists to quantify
-    iters-to-convergence vs eps on structured pairs
-    (tools/emd_convergence_study.py): the documented eval operating point
-    (eps=0.002/iters=10000, metrics/EMD/README.md:7) costs ~50 s/call at
-    n=8192 only on RANDOM cloud pairs; see the study for practical
-    settings."""
+    ``earth_mover_distance`` on any grad path.
+
+    Measured practicality at the documented eval point (eps=0.002/
+    iters=10000, metrics/EMD/README.md:7), n=8192 on chip
+    (tools/emd_convergence_study.py + budget sweep, docs/STATUS.md
+    round-5): permutation-like pairs converge in ~2 iterations (27 ms);
+    every non-degenerate pair exhausts the budget (~25 s/call at B=2 —
+    inherent to the auction at this density, the reference CUDA kernel
+    iterates identically). For near-converged predictions (the usual
+    trained-model eval) ``iters=2000`` reproduces the full-budget metric
+    value exactly at 5x less cost with <=0.04% unassigned; for loosely
+    matched pairs keep the full budget. Always check ``emd_unassigned``
+    — unassigned rows zero their dist and understate EMD."""
     return _emd_forward(xyz1, xyz2, eps, iters)
 
 
