@@ -492,3 +492,30 @@ def test_cli_complete_requires_weights(tmp_path, rng):
 
     with pytest.raises(SystemExit, match="--weights"):
         cli.main_pcn(["--complete", str(tmp_path)])
+
+
+def test_step_timer_reset_isolates_epochs():
+    """StepTimer.reset() (round-5 fix): without it, the first mark_data of
+    an epoch absorbed the previous epoch's validation/checkpoint wall time
+    — round-4 soak logs showed data= spiking to 1.2-2.3 s/it on exactly
+    the post-ckpt-save epochs. reset() re-arms the clock at epoch start so
+    data_time measures only loader wait."""
+    import time as _time
+
+    from svdformer_pointsea_tpu.utils.logging import StepTimer
+
+    timer = StepTimer()
+    timer.mark_data()
+    timer.mark_batch(1)
+    _time.sleep(0.2)  # simulated epoch-boundary eval/ckpt work
+    timer.reset()
+    timer.mark_data()  # first batch of the next epoch, immediate
+    assert timer.data_time < 0.1, timer.data_time
+
+    # Control: without reset the boundary leaks into data_time.
+    timer2 = StepTimer()
+    timer2.mark_data()
+    timer2.mark_batch(1)
+    _time.sleep(0.2)
+    timer2.mark_data()
+    assert timer2.data_time >= 0.2
