@@ -465,12 +465,22 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
     # pipelined fetch as train_net — never blocks device dispatch.
     progress = bool(getattr(tcfg, "progress", False))
 
+    # Reference-style data/batch wall-clock split, same semantics as
+    # train_net (core/train_pcn.py:88-102; StepTimer.reset at epoch start
+    # keeps eval/ckpt boundary time out of the data= figure).
+    from svdformer_pointsea_tpu.utils.logging import StepTimer
+
+    timer = StepTimer()
+
     for epoch in range(start_epoch, n_epochs + 1):
         # Resume-exact data order: shuffle + per-sample augmentation derive
         # from (seed, epoch), same contract as train_net (train/loop.py).
         train_loader.set_epoch(epoch)
         t0 = time.time()
+        timer.reset()
         losses = AverageMeter(["g_loss", "d_loss"])
+        data_time = AverageMeter()
+        batch_time = AverageMeter()
         pending = []  # defer device->host syncs to once per epoch
 
         def consume(entries):
@@ -485,6 +495,7 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
 
         n_epoch_batches = 0
         for batch in train_loader:
+            timer.mark_data()
             (partial, gt), w = pad_batch(
                 (batch.data["partial_cloud"], batch.data["gtcloud"]), mesh
             )
@@ -502,6 +513,9 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
                 )
                 sys.stderr.flush()
             n_epoch_batches += 1
+            timer.mark_batch(global_step)
+            data_time.update(timer.data_time)
+            batch_time.update(timer.batch_time)
             if max_steps is not None and global_step >= max_steps:
                 break
 
@@ -511,8 +525,12 @@ def train_net_gan(cfg: Config, max_epochs: Optional[int] = None, max_steps: Opti
             sys.stderr.write("\n")
 
         logging.info(
-            "Epoch %d/%d t=%.1fs g=%.4f d=%.4f",
-            epoch, n_epochs, time.time() - t0, losses.avg(0), losses.avg(1),
+            "Epoch %d/%d t=%.1fs data=%.3fs/it dispatch=%.3fs/it "
+            "step=%.3fs/it g=%.4f d=%.4f",
+            epoch, n_epochs, time.time() - t0,
+            data_time.avg(), batch_time.avg(),
+            (time.time() - t0) / max(n_epoch_batches, 1),
+            losses.avg(0), losses.avg(1),
         )
         variables = {"params": state.g_params, "batch_stats": state.g_batch_stats}
         # True-epoch val seeding — same resume-determinism contract as
