@@ -519,3 +519,83 @@ def test_step_timer_reset_isolates_epochs():
     _time.sleep(0.2)
     timer2.mark_data()
     assert timer2.data_time >= 0.2
+
+
+@pytest.mark.heavy
+def test_resume_state_exactness_55(tmp_path, rng):
+    """55-track twin of test_resume_state_exactness: the online crop
+    synthesis draws (num_crop, direction) from a HOST RandomState seeded
+    per-(seed, epoch, 55) at each epoch head (train/loop.py) — resume must
+    replay those draws exactly or params silently diverge. train 4 epochs
+    straight == train 2 -> ckpt -> restore -> train 2, bit-compared."""
+    gt_points, n_points = 256, 128
+    pc_dir = tmp_path / "shapenet_pc"
+    pc_dir.mkdir()
+    idx_dir = tmp_path / "ShapeNet55"
+    idx_dir.mkdir()
+    names = []
+    for i in range(4):
+        name = f"0269115{i}-model{i}.npy"
+        np.save(pc_dir / name, rng.rand(gt_points, 3).astype(np.float32))
+        names.append(name)
+    (idx_dir / "train.txt").write_text("\n".join(names))
+    (idx_dir / "test.txt").write_text(names[0] + "\n")
+
+    cfg = shapenet55_config(mode="easy")
+    cfg = cfg.replace(
+        network=dataclasses.replace(
+            cfg.network, **TINY_NET, n_input_points=n_points, decoder="attn"
+        ),
+        data=dataclasses.replace(
+            cfg.data,
+            category_file=str(idx_dir),
+            complete_points_path=str(pc_dir) + "/%s",
+            gt_points=gt_points,
+            n_points=n_points,
+            num_workers=2,
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, n_epochs=4, save_freq=2, warmup_steps=2
+        ),
+        out_path=str(tmp_path / "straight55"),
+    )
+
+    from svdformer_pointsea_tpu.train import evaluate as ev
+
+    orig = ev.eval_55
+
+    def fast_eval(cfg, model, variables, loader, logger=None, epoch=0, mode=None):
+        return orig(cfg, model, variables, loader, logger, epoch, mode,
+                    n_viewpoints=1)
+
+    import svdformer_pointsea_tpu.train.loop as loop_mod
+
+    saved = loop_mod.eval_55
+    loop_mod.eval_55 = fast_eval
+    try:
+        state_a, best_a = train_net(cfg, max_epochs=4)
+        assert int(state_a.step) == 8  # 4 models, batch 2 -> 2 steps x 4
+
+        ckpt2 = os.path.join(cfg.out_path, "checkpoints", "ckpt-epoch-002")
+        assert os.path.isdir(ckpt2)
+        cfg_b = cfg.replace(weights=ckpt2, out_path=str(tmp_path / "resumed55"))
+        state_b, best_b = train_net(cfg_b, max_epochs=4)
+    finally:
+        loop_mod.eval_55 = saved
+    assert int(state_b.step) == 8
+
+    for name, ta, tb in (
+        ("params", state_a.params, state_b.params),
+        ("opt_state", state_a.opt_state, state_b.opt_state),
+        ("batch_stats", state_a.batch_stats, state_b.batch_stats),
+    ):
+        la = jax.tree_util.tree_leaves_with_path(ta)
+        lb = jax.tree_util.tree_leaves(tb)
+        assert len(la) == len(lb)
+        for (path, a), b in zip(la, lb):
+            np.testing.assert_array_equal(
+                np.asarray(a),
+                np.asarray(b),
+                err_msg=f"{name}{jax.tree_util.keystr(path)} diverged after resume",
+            )
+    assert best_a == best_b
