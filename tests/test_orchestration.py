@@ -599,3 +599,43 @@ def test_resume_state_exactness_55(tmp_path, rng):
                 err_msg=f"{name}{jax.tree_util.keystr(path)} diverged after resume",
             )
     assert best_a == best_b
+
+
+@pytest.mark.heavy
+def test_resume_state_exactness_gan(tmp_path, rng):
+    """GAN-trainer twin of test_resume_state_exactness: the GeoSpec
+    two-optimizer state (G+D params, both opt states, G batch_stats) must
+    resume bit-exactly through train_net_gan's checkpoint path — train 4
+    epochs straight == train 2 -> ckpt -> restore -> train 2."""
+    from svdformer_pointsea_tpu.train.gan import train_net_gan
+
+    cfg = _tiny_pcn_config(tmp_path, rng, n_models=4, gt_points=256, n_points=128)
+    cfg = cfg.replace(
+        network=dataclasses.replace(cfg.network, model="geospecnet"),
+        train=dataclasses.replace(cfg.train, n_epochs=4, save_freq=2),
+        out_path=str(tmp_path / "gan_straight"),
+    )
+    state_a, best_a = train_net_gan(cfg, max_epochs=4)
+    assert int(state_a.step) == 8  # 4 models, batch 2 -> 2 steps x 4 epochs
+
+    ckpt2 = os.path.join(cfg.out_path, "checkpoints", "ckpt-epoch-002")
+    assert os.path.isdir(ckpt2)
+    cfg_b = cfg.replace(weights=ckpt2, out_path=str(tmp_path / "gan_resumed"))
+    state_b, best_b = train_net_gan(cfg_b, max_epochs=4)
+    assert int(state_b.step) == 8
+
+    for name in ("g_params", "d_params", "g_opt_state", "d_opt_state",
+                 "g_batch_stats", "d_batch_stats"):
+        ta, tb = getattr(state_a, name, None), getattr(state_b, name, None)
+        if ta is None:
+            continue
+        la = jax.tree_util.tree_leaves_with_path(ta)
+        lb = jax.tree_util.tree_leaves(tb)
+        assert len(la) == len(lb)
+        for (path, a), b in zip(la, lb):
+            np.testing.assert_array_equal(
+                np.asarray(a),
+                np.asarray(b),
+                err_msg=f"{name}{jax.tree_util.keystr(path)} diverged after resume",
+            )
+    assert best_a == best_b
